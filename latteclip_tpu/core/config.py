@@ -1,0 +1,106 @@
+"""Model architecture configuration and JSON registry.
+
+Mirrors the reference's config surface — ``embed_dim`` + ``vision_cfg`` +
+``text_cfg`` JSON files scanned into a registry (reference
+``src/open_clip/factory.py:31-52``, ``src/open_clip/model.py:146-203``) —
+with a TPU-first twist: configs also carry the compute dtype policy and
+expose derived static shapes (token counts) that the pallas kernels and the
+pjit train step need at trace time.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+_CONFIG_DIR = Path(__file__).resolve().parent / "model_configs"
+
+
+@dataclasses.dataclass(frozen=True)
+class VisionConfig:
+    image_size: int = 224
+    patch_size: int = 16
+    width: int = 768
+    layers: int = 12
+    head_width: int = 64
+    mlp_ratio: float = 4.0
+    pool_type: str = "tok"          # 'tok' | 'avg'
+    final_ln_after_pool: bool = False
+    no_ln_pre: bool = False
+
+    @property
+    def heads(self) -> int:
+        return self.width // self.head_width
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def seq_len(self) -> int:
+        """Token count incl. class token — static shape for kernels."""
+        return self.grid * self.grid + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TextConfig:
+    context_length: int = 77
+    vocab_size: int = 49408
+    width: int = 512
+    heads: int = 8
+    layers: int = 12
+    mlp_ratio: float = 4.0
+    pool_type: str = "argmax"       # 'argmax' (EOT) | 'first' | 'last'
+    pad_id: int = 0
+    no_causal_mask: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    name: str
+    embed_dim: int
+    vision: VisionConfig
+    text: TextConfig
+    quick_gelu: bool = False
+    init_logit_scale: float = 2.6592600369  # ln(1/0.07), reference model.py:364
+    # TPU precision policy: params + LayerNorm stats in f32, matmul inputs in
+    # bf16 (replaces the reference's AMP fp16 + LayerNormFp32 arrangement,
+    # reference src/open_clip/transformer.py:15-21).
+    compute_dtype: str = "bfloat16"
+
+
+def _filter_fields(cls, d: Dict[str, Any]) -> Dict[str, Any]:
+    names = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in d.items() if k in names}
+
+
+def config_from_dict(name: str, raw: Dict[str, Any]) -> CLIPConfig:
+    quick_gelu = bool(raw.get("quick_gelu", False)) or name.endswith("-quickgelu")
+    return CLIPConfig(
+        name=name,
+        embed_dim=int(raw["embed_dim"]),
+        vision=VisionConfig(**_filter_fields(VisionConfig, raw.get("vision_cfg", {}))),
+        text=TextConfig(**_filter_fields(TextConfig, raw.get("text_cfg", {}))),
+        quick_gelu=quick_gelu,
+    )
+
+
+def list_models() -> Tuple[str, ...]:
+    return tuple(sorted(p.stem for p in _CONFIG_DIR.glob("*.json")))
+
+
+def get_model_config(name: str) -> CLIPConfig:
+    path = _CONFIG_DIR / f"{name}.json"
+    if not path.exists():
+        raise ValueError(f"unknown model config '{name}'; available: {list_models()}")
+    with open(path) as f:
+        raw = json.load(f)
+    return config_from_dict(name, raw)
+
+
+def config_from_file(path: str) -> CLIPConfig:
+    with open(path) as f:
+        raw = json.load(f)
+    return config_from_dict(os.path.splitext(os.path.basename(path))[0], raw)

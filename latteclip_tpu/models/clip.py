@@ -1,0 +1,114 @@
+"""CLIP model: param init + pure encode functions + a convenience wrapper.
+
+API parity targets the reference ``CLIP`` class
+(``src/open_clip/model.py:355-468``): ``encode_image`` / ``encode_text``
+(with ``normalize``), ``logit_scale`` initialised to ``ln(1/0.07)``
+(reference ``model.py:364,392``), and a forward returning normalized
+features + exp(logit_scale). Everything is a pure function of a param
+pytree, ready for jit/pjit; the ``CLIPModel`` wrapper just binds config and
+params for ergonomic host-side use (eval loops, feature extraction).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from latteclip_tpu.core.config import CLIPConfig, get_model_config
+from latteclip_tpu.models import text as text_mod
+from latteclip_tpu.models import vit as vit_mod
+from latteclip_tpu.models.layers import Params, l2_normalize
+
+
+def init_clip_params(rng: jax.Array, cfg: CLIPConfig) -> Params:
+    kv, kt = jax.random.split(rng)
+    return {
+        "visual": vit_mod.init_vit_params(kv, cfg.vision, cfg.embed_dim),
+        "text": text_mod.init_text_params(kt, cfg.text, cfg.embed_dim),
+        "logit_scale": jnp.asarray(cfg.init_logit_scale, dtype=jnp.float32),
+    }
+
+
+def _dtype(cfg: CLIPConfig) -> jnp.dtype:
+    return jnp.dtype(cfg.compute_dtype)
+
+
+def encode_image(
+    params: Params,
+    cfg: CLIPConfig,
+    images: jnp.ndarray,
+    *,
+    normalize: bool = False,
+    remat: bool = False,
+) -> jnp.ndarray:
+    feats = vit_mod.vit_forward(
+        params["visual"], cfg.vision, images,
+        dtype=_dtype(cfg), quick_gelu=cfg.quick_gelu, remat=remat,
+    )
+    return l2_normalize(feats) if normalize else feats
+
+
+def encode_text(
+    params: Params,
+    cfg: CLIPConfig,
+    tokens: jnp.ndarray,
+    *,
+    normalize: bool = False,
+    remat: bool = False,
+) -> jnp.ndarray:
+    feats = text_mod.text_forward(
+        params["text"], cfg.text, tokens,
+        dtype=_dtype(cfg), quick_gelu=cfg.quick_gelu, remat=remat,
+    )
+    return l2_normalize(feats) if normalize else feats
+
+
+def clip_forward(
+    params: Params,
+    cfg: CLIPConfig,
+    images: Optional[jnp.ndarray] = None,
+    tokens: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    out: Dict[str, jnp.ndarray] = {"logit_scale": jnp.exp(params["logit_scale"])}
+    if images is not None:
+        out["image_features"] = encode_image(params, cfg, images, normalize=True)
+    if tokens is not None:
+        out["text_features"] = encode_text(params, cfg, tokens, normalize=True)
+    return out
+
+
+@dataclasses.dataclass
+class CLIPModel:
+    """Config + params bundle with jitted encode methods (host-side helper)."""
+
+    cfg: CLIPConfig
+    params: Params
+
+    def __post_init__(self):
+        cfg = self.cfg
+        self._encode_image = jax.jit(
+            lambda p, x, normalize: encode_image(p, cfg, x, normalize=normalize),
+            static_argnames="normalize",
+        )
+        self._encode_text = jax.jit(
+            lambda p, t, normalize: encode_text(p, cfg, t, normalize=normalize),
+            static_argnames="normalize",
+        )
+
+    @classmethod
+    def from_config(cls, name_or_cfg, rng: Optional[jax.Array] = None) -> "CLIPModel":
+        cfg = get_model_config(name_or_cfg) if isinstance(name_or_cfg, str) else name_or_cfg
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        return cls(cfg=cfg, params=init_clip_params(rng, cfg))
+
+    def encode_image(self, images, normalize: bool = False):
+        return self._encode_image(self.params, jnp.asarray(images), normalize)
+
+    def encode_text(self, tokens, normalize: bool = False):
+        return self._encode_text(self.params, jnp.asarray(tokens), normalize)
+
+    @property
+    def logit_scale(self) -> jnp.ndarray:
+        return self.params["logit_scale"]

@@ -1,0 +1,133 @@
+"""Transformer building blocks as pure functions over param pytrees.
+
+Numerics mirror the reference blocks (pre-LN residual attention,
+GELU/QuickGELU MLP — reference ``src/open_clip/transformer.py:188-243``) but
+the implementation is TPU-first:
+
+* parameters of all layers are **stacked** along a leading layer axis and the
+  block is driven by ``jax.lax.scan`` — one compiled block regardless of
+  depth, optional per-block rematerialisation via ``jax.checkpoint``;
+* weights are stored ``[in, out]`` so every projection is a plain ``x @ W``
+  feeding the MXU;
+* precision policy: parameters live in float32, matmul inputs are cast to the
+  configured compute dtype (bfloat16), LayerNorm and softmax statistics are
+  computed in float32 — the TPU-native equivalent of the reference's AMP fp16
+  + ``LayerNormFp32`` arrangement (reference
+  ``src/open_clip/transformer.py:15-21``).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+LN_EPS = 1e-5
+
+
+def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+    """LayerNorm with f32 statistics, output cast back to input dtype."""
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + LN_EPS)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    # torch nn.GELU default is the exact (erf) formulation
+    return jax.nn.gelu(x, approximate=False)
+
+
+def dense(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray], dtype: jnp.dtype) -> jnp.ndarray:
+    y = jnp.dot(x.astype(dtype), w.astype(dtype), preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def mha(
+    x: jnp.ndarray,
+    p: Params,
+    num_heads: int,
+    mask: Optional[jnp.ndarray],
+    dtype: jnp.dtype,
+) -> jnp.ndarray:
+    """Multi-head self-attention on ``[B, L, D]``.
+
+    Logits and softmax in f32 (AMP-equivalent), value matmul in compute
+    dtype. ``mask`` is an additive ``[L, L]`` f32 mask or None.
+    """
+    B, L, D = x.shape
+    head_dim = D // num_heads
+
+    qkv = dense(x, p["in_proj_w"], p["in_proj_b"], dtype)        # [B, L, 3D]
+    qkv = qkv.reshape(B, L, 3, num_heads, head_dim)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]           # [B, L, H, Hd]
+
+    from latteclip_tpu.kernels import attention_core
+
+    out = attention_core(q, k, v, mask, dtype=dtype)             # [B, L, H, Hd]
+    out = out.reshape(B, L, D)
+    return dense(out, p["out_proj_w"], p["out_proj_b"], dtype)
+
+
+def mlp(x: jnp.ndarray, p: Params, act, dtype: jnp.dtype) -> jnp.ndarray:
+    h = dense(x, p["c_fc_w"], p["c_fc_b"], dtype)
+    h = act(h)
+    return dense(h, p["c_proj_w"], p["c_proj_b"], dtype)
+
+
+def residual_block(
+    x: jnp.ndarray,
+    p: Params,
+    num_heads: int,
+    mask: Optional[jnp.ndarray],
+    act,
+    dtype: jnp.dtype,
+) -> jnp.ndarray:
+    """Pre-LN residual attention block (reference transformer.py:231-243)."""
+    x = x + mha(layer_norm(x, p["ln_1_scale"], p["ln_1_bias"]), p, num_heads, mask, dtype)
+    x = x + mlp(
+        layer_norm(x, p["ln_2_scale"], p["ln_2_bias"]),
+        p,
+        act,
+        dtype,
+    )
+    return x
+
+
+def transformer_stack(
+    x: jnp.ndarray,
+    stacked: Params,
+    num_heads: int,
+    mask: Optional[jnp.ndarray],
+    act,
+    dtype: jnp.dtype,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Run a stack of residual blocks via lax.scan over the layer axis."""
+
+    def body(carry, layer_params):
+        out = residual_block(carry, layer_params, num_heads, mask, act, dtype)
+        return out, None
+
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
+
+    x, _ = jax.lax.scan(body, x, stacked)
+    return x
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """Match torch F.normalize: x / max(||x||, eps)."""
+    norm = jnp.linalg.norm(x.astype(jnp.float32), axis=axis, keepdims=True)
+    return (x.astype(jnp.float32) / jnp.maximum(norm, eps)).astype(x.dtype)

@@ -1,0 +1,218 @@
+"""Byte-level BPE tokenizer producing OpenAI-CLIP-compatible token ids.
+
+Behavior-compatible with the reference tokenizer (reference
+``src/open_clip/tokenizer.py:127-259``): same byte→unicode table, same merge
+ranks (public OpenAI CLIP vocabulary, re-serialised into
+``latteclip_tpu/assets/clip_bpe_merges.txt.gz``), same special tokens
+(``<start_of_text>``=49406, ``<end_of_text>``=49407), same default context
+length (77) and pad/truncate rules (zero padding, forced EOT on truncation,
+cf. reference ``src/open_clip/tokenizer.py:250-258``).
+
+Implementation is TPU-framework-native: pure Python + numpy (no torch); the
+output is an ``int32 [N, context_length]`` array ready for
+``jax.device_put``. Training never calls this in the hot loop — all caption
+fields and the per-class template table are pre-tokenized (see
+``latteclip_tpu/data`` and ``latteclip_tpu/train``), which removes the
+reference's in-step CPU BPE bottleneck (reference
+``src/training/train.py:433-434``).
+"""
+from __future__ import annotations
+
+import gzip
+import html
+import os
+from functools import lru_cache
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import regex as re
+
+DEFAULT_CONTEXT_LENGTH = 77
+
+_ASSET_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "assets", "clip_bpe_merges.txt.gz")
+
+try:  # optional: mojibake repair, identity on clean text
+    import ftfy as _ftfy
+except ImportError:  # pragma: no cover - environment dependent
+    _ftfy = None
+
+
+@lru_cache()
+def default_merge_path() -> str:
+    env = os.environ.get("LATTECLIP_BPE_PATH")
+    if env:
+        return env
+    return os.path.normpath(_ASSET_PATH)
+
+
+@lru_cache()
+def byte_to_unicode() -> Dict[int, str]:
+    """GPT-2 style reversible byte→printable-unicode mapping.
+
+    Printable ASCII and two Latin-1 ranges map to themselves; the remaining
+    68 byte values are displaced into the 0x100+ plane so no token string
+    ever contains whitespace/control characters.
+    """
+    keep = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    mapping = {b: chr(b) for b in keep}
+    offset = 0
+    for b in range(256):
+        if b not in mapping:
+            mapping[b] = chr(256 + offset)
+            offset += 1
+    return mapping
+
+
+def _basic_clean(text: str) -> str:
+    if _ftfy is not None:
+        text = _ftfy.fix_text(text)
+    text = html.unescape(html.unescape(text))
+    return text.strip()
+
+
+_WS_RE = re.compile(r"\s+")
+
+
+def _whitespace_clean(text: str) -> str:
+    return _WS_RE.sub(" ", text).strip()
+
+
+def clean_text(text: str, mode: str = "lower") -> str:
+    if mode == "lower":
+        return _whitespace_clean(_basic_clean(text)).lower()
+    if mode == "whitespace":
+        return _whitespace_clean(_basic_clean(text))
+    raise ValueError(f"unknown clean mode: {mode}")
+
+
+def _adjacent_pairs(word: Tuple[str, ...]) -> set:
+    return set(zip(word[:-1], word[1:]))
+
+
+class ClipTokenizer:
+    """CLIP byte-level BPE with numpy output.
+
+    Vocabulary layout (id order): 256 byte symbols, 256 byte symbols with
+    ``</w>`` suffix, 48,894 merge results, then ``<start_of_text>`` and
+    ``<end_of_text>`` — 49,408 entries total, matching the reference's
+    ``vocab_size`` (reference ``src/open_clip/model_configs/ViT-B-32.json``).
+    """
+
+    def __init__(
+        self,
+        merge_path: Optional[str] = None,
+        context_length: Optional[int] = DEFAULT_CONTEXT_LENGTH,
+        clean: str = "lower",
+    ):
+        self.byte_encoder = byte_to_unicode()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+
+        path = merge_path or default_merge_path()
+        raw = gzip.open(path).read().decode("utf-8")
+        merges: List[Tuple[str, str]] = [tuple(line.split()) for line in raw.split("\n") if line]
+        self.merge_rank: Dict[Tuple[str, str], int] = {m: i for i, m in enumerate(merges)}
+
+        vocab = list(self.byte_encoder.values())
+        vocab += [v + "</w>" for v in vocab]
+        vocab += ["".join(m) for m in merges]
+        self.special_tokens = ["<start_of_text>", "<end_of_text>"]
+        vocab += self.special_tokens
+        self.encoder: Dict[str, int] = {tok: i for i, tok in enumerate(vocab)}
+        self.decoder: Dict[int, str] = {i: tok for tok, i in self.encoder.items()}
+        self.vocab_size = len(self.encoder)
+        self.sot_token_id = self.encoder["<start_of_text>"]
+        self.eot_token_id = self.encoder["<end_of_text>"]
+        self.context_length = context_length
+        self.clean_mode = clean
+
+        special = "|".join(self.special_tokens)
+        self.pattern = re.compile(
+            special + r"""|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+            re.IGNORECASE,
+        )
+        self._bpe_cache: Dict[str, str] = {t: t for t in self.special_tokens}
+
+    # -- BPE ---------------------------------------------------------------
+    def bpe(self, token: str) -> str:
+        cached = self._bpe_cache.get(token)
+        if cached is not None:
+            return cached
+        word: Tuple[str, ...] = tuple(token[:-1]) + (token[-1] + "</w>",)
+        if len(word) == 1:
+            return token + "</w>"
+        pairs = _adjacent_pairs(word)
+        while True:
+            best = min(pairs, key=lambda p: self.merge_rank.get(p, float("inf")))
+            if best not in self.merge_rank:
+                break
+            first, second = best
+            merged: List[str] = []
+            i = 0
+            n = len(word)
+            while i < n:
+                if word[i] == first and i + 1 < n and word[i + 1] == second:
+                    merged.append(first + second)
+                    i += 2
+                else:
+                    # skip ahead to the next occurrence of `first` in one go
+                    try:
+                        j = word.index(first, i)
+                    except ValueError:
+                        merged.extend(word[i:])
+                        break
+                    merged.extend(word[i:j])
+                    if j + 1 < n and word[j + 1] == second:
+                        merged.append(first + second)
+                        i = j + 2
+                    else:
+                        merged.append(word[j])
+                        i = j + 1
+            word = tuple(merged)
+            if len(word) == 1:
+                break
+            pairs = _adjacent_pairs(word)
+        result = " ".join(word)
+        self._bpe_cache[token] = result
+        return result
+
+    def encode(self, text: str) -> List[int]:
+        ids: List[int] = []
+        text = clean_text(text, self.clean_mode)
+        for token in re.findall(self.pattern, text):
+            unicode_token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
+            ids.extend(self.encoder[piece] for piece in self.bpe(unicode_token).split(" "))
+        return ids
+
+    def decode(self, ids: Sequence[int]) -> str:
+        text = "".join(self.decoder[int(i)] for i in ids)
+        data = bytearray(self.byte_decoder[c] for c in text if c in self.byte_decoder)
+        return data.decode("utf-8", errors="replace").replace("</w>", " ")
+
+    # -- batching ----------------------------------------------------------
+    def __call__(
+        self,
+        texts: Union[str, Sequence[str]],
+        context_length: Optional[int] = None,
+    ) -> np.ndarray:
+        """Tokenize to a zero-padded ``int32 [N, context_length]`` array."""
+        if isinstance(texts, str):
+            texts = [texts]
+        ctx = context_length or self.context_length
+        assert ctx, "context_length must be set"
+        out = np.zeros((len(texts), ctx), dtype=np.int32)
+        for row, text in enumerate(texts):
+            ids = [self.sot_token_id] + self.encode(text) + [self.eot_token_id]
+            if len(ids) > ctx:
+                ids = ids[:ctx]
+                ids[-1] = self.eot_token_id
+            out[row, : len(ids)] = ids
+        return out
+
+
+@lru_cache()
+def get_tokenizer(context_length: int = DEFAULT_CONTEXT_LENGTH) -> ClipTokenizer:
+    return ClipTokenizer(context_length=context_length)

@@ -1,0 +1,111 @@
+"""Vision transformer tower (pure functions, NHWC, MXU-friendly patchify).
+
+Numerics match the reference ``VisionTransformer``
+(``src/open_clip/transformer.py:328-547``): conv patchify, class token +
+learned positional embedding, pre-LN stack, ``ln_post`` then token pooling
+and a final projection matmul. Differences are deliberate TPU choices:
+
+* images are NHWC (TPU-native layout), not NCHW;
+* the stride-P convolution is expressed as reshape + one big matmul
+  ``[B, N, P*P*3] @ [P*P*3, D]`` so the whole patch embed runs on the MXU;
+* blocks are stacked and scanned (see ``layers.transformer_stack``).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from latteclip_tpu.core.config import VisionConfig
+from latteclip_tpu.models import layers
+from latteclip_tpu.models.layers import Params
+
+
+def init_vit_params(rng: jax.Array, cfg: VisionConfig, embed_dim: int) -> Params:
+    """Initialise vision tower params (f32).
+
+    The reference leaves vision blocks at torch defaults
+    (``transformer.py:468-486`` is a no-op); we use the same normal scheme
+    the reference applies to its text tower, which is well-behaved for
+    from-scratch training. Pretrained checkpoints overwrite all of this.
+    """
+    D, L = cfg.width, cfg.layers
+    k = iter(jax.random.split(rng, 16))
+    scale = D ** -0.5
+    proj_std = scale * (2 * L) ** -0.5
+    fc_std = (2 * D) ** -0.5
+    mlp_width = int(D * cfg.mlp_ratio)
+
+    blocks = {
+        "ln_1_scale": jnp.ones((L, D)),
+        "ln_1_bias": jnp.zeros((L, D)),
+        "in_proj_w": jax.random.normal(next(k), (L, D, 3 * D)) * scale,
+        "in_proj_b": jnp.zeros((L, 3 * D)),
+        "out_proj_w": jax.random.normal(next(k), (L, D, D)) * proj_std,
+        "out_proj_b": jnp.zeros((L, D)),
+        "ln_2_scale": jnp.ones((L, D)),
+        "ln_2_bias": jnp.zeros((L, D)),
+        "c_fc_w": jax.random.normal(next(k), (L, D, mlp_width)) * fc_std,
+        "c_fc_b": jnp.zeros((L, mlp_width)),
+        "c_proj_w": jax.random.normal(next(k), (L, mlp_width, D)) * proj_std,
+        "c_proj_b": jnp.zeros((L, D)),
+    }
+    return {
+        "patch_kernel": jax.random.normal(next(k), (cfg.patch_size * cfg.patch_size * 3, D)) * scale,
+        "class_embedding": jax.random.normal(next(k), (D,)) * scale,
+        "pos_embed": jax.random.normal(next(k), (cfg.seq_len, D)) * scale,
+        "ln_pre_scale": jnp.ones((D,)),
+        "ln_pre_bias": jnp.zeros((D,)),
+        "blocks": blocks,
+        "ln_post_scale": jnp.ones((D,)),
+        "ln_post_bias": jnp.zeros((D,)),
+        "proj": jax.random.normal(next(k), (D, embed_dim)) * scale,
+    }
+
+
+def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """[B, H, W, 3] -> [B, N, patch*patch*3] patch vectors (i, j, c order)."""
+    B, H, W, C = images.shape
+    gh, gw = H // patch, W // patch
+    x = images.reshape(B, gh, patch, gw, patch, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # [B, gh, gw, P, P, C]
+    return x.reshape(B, gh * gw, patch * patch * C)
+
+
+def vit_forward(
+    params: Params,
+    cfg: VisionConfig,
+    images: jnp.ndarray,
+    *,
+    dtype: jnp.dtype = jnp.bfloat16,
+    quick_gelu: bool = False,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Images [B, H, W, 3] -> pooled features [B, embed_dim] (f32)."""
+    B = images.shape[0]
+    act = layers.quick_gelu if quick_gelu else layers.gelu
+
+    x = patchify(images, cfg.patch_size)
+    x = layers.dense(x, params["patch_kernel"], None, dtype)      # [B, N, D]
+
+    cls = jnp.broadcast_to(params["class_embedding"].astype(dtype), (B, 1, cfg.width))
+    x = jnp.concatenate([cls, x], axis=1)                          # [B, N+1, D]
+    x = x + params["pos_embed"].astype(dtype)
+
+    if not cfg.no_ln_pre:
+        x = layers.layer_norm(x, params["ln_pre_scale"], params["ln_pre_bias"])
+
+    x = layers.transformer_stack(
+        x, params["blocks"], cfg.heads, None, act, dtype, remat=remat
+    )
+
+    if cfg.final_ln_after_pool:
+        pooled = x[:, 1:].mean(axis=1) if cfg.pool_type == "avg" else x[:, 0]
+        pooled = layers.layer_norm(pooled, params["ln_post_scale"], params["ln_post_bias"])
+    else:
+        x = layers.layer_norm(x, params["ln_post_scale"], params["ln_post_bias"])
+        pooled = x[:, 1:].mean(axis=1) if cfg.pool_type == "avg" else x[:, 0]
+
+    out = layers.dense(pooled, params["proj"], None, dtype)
+    return out.astype(jnp.float32)

@@ -1,0 +1,62 @@
+import numpy as np
+import pytest
+
+from latteclip_tpu.core.pt_io import load_pt, save_pt
+
+torch = pytest.importorskip("torch")
+
+
+def _sample_obj():
+    rng = np.random.RandomState(0)
+    return {
+        "epoch": 7,
+        "name": "run",
+        "state_dict": {
+            "w": rng.randn(4, 5).astype(np.float32),
+            "b": np.arange(7, dtype=np.int64),
+            "h": rng.randn(3).astype(np.float16),
+            "scalar": np.float32(2.5),
+        },
+    }
+
+
+def test_roundtrip_self(tmp_path):
+    p = str(tmp_path / "x.pt")
+    obj = _sample_obj()
+    save_pt(obj, p)
+    back = load_pt(p)
+    assert back["epoch"] == 7 and back["name"] == "run"
+    for k in ("w", "b", "h"):
+        np.testing.assert_array_equal(back["state_dict"][k], obj["state_dict"][k])
+
+
+def test_torch_reads_ours(tmp_path):
+    p = str(tmp_path / "x.pt")
+    obj = _sample_obj()
+    save_pt(obj, p)
+    t = torch.load(p, map_location="cpu", weights_only=False)
+    assert torch.allclose(t["state_dict"]["w"], torch.from_numpy(obj["state_dict"]["w"]))
+    assert t["state_dict"]["b"].dtype == torch.int64
+    assert t["epoch"] == 7
+
+
+def test_we_read_torch(tmp_path):
+    p = str(tmp_path / "y.pt")
+    torch.save(
+        {
+            "a": torch.randn(2, 3),
+            "nested": {"x": torch.arange(5)},
+            "s": "hi",
+            "pi": 3.14,
+            "bf": torch.randn(4, dtype=torch.bfloat16),
+            "noncontig": torch.randn(4, 6).t(),
+        },
+        p,
+    )
+    ours = load_pt(p)
+    theirs = torch.load(p, weights_only=False)
+    np.testing.assert_allclose(ours["a"], theirs["a"].numpy())
+    np.testing.assert_allclose(ours["bf"], theirs["bf"].float().numpy())
+    np.testing.assert_allclose(ours["noncontig"], theirs["noncontig"].numpy())
+    np.testing.assert_array_equal(ours["nested"]["x"], np.arange(5))
+    assert ours["s"] == "hi" and ours["pi"] == 3.14

@@ -1,0 +1,64 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from latteclip_tpu.models.tokenizer import ClipTokenizer, get_tokenizer
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden_tokenizer.json")
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return get_tokenizer()
+
+
+def test_vocab_layout(tok):
+    assert tok.vocab_size == 49408
+    assert tok.sot_token_id == 49406
+    assert tok.eot_token_id == 49407
+
+
+def test_golden_parity(tok):
+    """Token ids must match the reference SimpleTokenizer on a varied corpus."""
+    golden = json.load(open(GOLDEN))
+    for text, ids in zip(golden["texts"], golden["ids"]):
+        ours = tok(text)[0]
+        assert ours.tolist() == ids, f"mismatch for {text!r}"
+
+
+def test_output_shape_and_dtype(tok):
+    out = tok(["a", "b", "c"])
+    assert out.shape == (3, 77)
+    assert out.dtype == np.int32
+
+
+def test_truncation_forces_eot(tok):
+    out = tok("word " * 200)[0]
+    assert out[0] == tok.sot_token_id
+    assert out[-1] == tok.eot_token_id
+
+
+def test_padding_is_zero(tok):
+    out = tok("hi")[0]
+    n = int((out != 0).sum())
+    assert out[0] == tok.sot_token_id
+    assert out[n - 1] == tok.eot_token_id
+    assert (out[n:] == 0).all()
+
+
+def test_roundtrip_decode(tok):
+    ids = tok.encode("a photo of a dog running on grass")
+    assert tok.decode(ids).strip() == "a photo of a dog running on grass"
+
+
+def test_custom_context_length():
+    tok = ClipTokenizer(context_length=32)
+    assert tok("hello world").shape == (1, 32)
+
+
+def test_eot_is_argmax(tok):
+    """EOT must be the max token id per row — text pooling relies on argmax."""
+    out = tok(["a photo of a dog.", "banded texture."])
+    assert (out.argmax(axis=-1) == (out == tok.eot_token_id).argmax(axis=-1)).all()
