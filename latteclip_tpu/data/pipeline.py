@@ -1,0 +1,279 @@
+"""LatteCLIP training input pipeline: tar shards → device-ready batches.
+
+Reproduces the semantics of the reference webdataset pipeline
+(``src/training/data.py:514-777``) with a TPU-first dataflow:
+
+* **everything text is pre-tokenized at pipeline construction** — caption
+  files (first line, as consumed by the reference, ``data.py:441-442``) and
+  the per-class template table — so the hot path is pure array gathers.
+  The reference re-runs CPU BPE on 2×batch texts inside every train step
+  (``train.py:433-434``); here a step touches no Python string code at all;
+* the caption join reproduces ``captions_from_clip_predicted_classes``
+  (``data.py:399-451``): pseudo-label lookup by ``__key__``, random caption
+  *directory* per sample, random same-pseudo-class donor for the group
+  caption;
+* epoch-seeded deterministic shard shuffle + bounded sample shuffle buffer
+  (``detshuffle2`` / ``wds.shuffle`` semantics);
+* fixed ``steps_per_epoch = train_num_samples // global_batch`` accounting
+  (reference ``data.py:724-740``), streaming with wraparound so every batch
+  has a static shape;
+* batches carry uint8 images; color augmentation + normalization runs
+  inside the jitted train step (see ``transforms.train_augment_normalize``).
+
+Batch dict fields (all numpy, static shapes):
+  ``images``      uint8  [B, S, S, 3] — random-resized-crop output
+  ``per_image_tokens`` int32 [B, 77] — LLaVA per-image caption tokens
+  ``per_group_tokens`` int32 [B, 77] — LLaVA per-group caption tokens
+  ``zs_preds``    int32  [B] — pseudo-label class ids (pkl top-1)
+  ``gt_labels``   int32  [B] — ground-truth ids (diagnostics / FLYP_GT only)
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import pickle
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from latteclip_tpu.data import transforms as T
+from latteclip_tpu.data.tar_reader import (
+    ShuffleBuffer,
+    expand_shard_pattern,
+    iter_shards_samples,
+    shuffled_shards,
+    split_shards,
+)
+from latteclip_tpu.models.tokenizer import ClipTokenizer
+
+logger = logging.getLogger(__name__)
+
+
+def load_caption_tokens(
+    caption_dir: str, tokenizer: ClipTokenizer
+) -> Dict[str, np.ndarray]:
+    """{image_id: int32 [77]} from a dir of {image_id}.txt (first line only,
+    matching what the v2 trainer consumes — reference data.py:441-442)."""
+    out: Dict[str, np.ndarray] = {}
+    files = [f for f in os.listdir(caption_dir) if f.endswith(".txt")]
+    texts, ids = [], []
+    for fname in files:
+        image_id = os.path.splitext(fname)[0]
+        with open(os.path.join(caption_dir, fname)) as f:
+            first_line = f.read().strip().split("\n")[0]
+        ids.append(image_id)
+        texts.append(first_line)
+    if ids:
+        tokens = tokenizer(texts)
+        out = {i: tokens[n] for n, i in enumerate(ids)}
+    return out
+
+
+@dataclasses.dataclass
+class LatteCLIPTrainData:
+    """Join tables + shard list for the unsupervised fine-tune pipeline."""
+
+    shards: List[str]
+    class_names: List[str]                    # lowercased display names, id order
+    zs_top1: Dict[str, int]                   # image_id -> pseudo-label class id
+    per_image_tokens: List[Dict[str, np.ndarray]]  # one dict per caption dir
+    group_tokens: Dict[str, np.ndarray]       # image_id -> group caption tokens
+    class_to_image_ids: Dict[int, List[str]]  # pseudo-class id -> donor ids
+    gt_label: Dict[str, int]                  # image_id -> gt id (from metadata)
+
+
+def build_train_data(
+    train_shards: str,
+    clip_prediction_path: str,
+    caption_dirs: Sequence[str],
+    common_caption_dirs: Sequence[str],
+    class_names: Sequence[str],
+    tokenizer: ClipTokenizer,
+) -> LatteCLIPTrainData:
+    """Load pseudo-labels + pre-tokenize captions (pipeline-build time)."""
+    shards = expand_shard_pattern(train_shards)
+    with open(clip_prediction_path, "rb") as f:
+        predictions = pickle.load(f)
+
+    name_to_id = {c: i for i, c in enumerate(class_names)}
+    zs_top1: Dict[str, int] = {}
+    class_to_image_ids: Dict[int, List[str]] = {}
+    for image_id, rec in predictions.items():
+        top1_name = rec["class_names"][0]
+        cid = name_to_id[top1_name]
+        zs_top1[image_id] = cid
+        class_to_image_ids.setdefault(cid, []).append(image_id)
+
+    per_image = [load_caption_tokens(d, tokenizer) for d in caption_dirs]
+    group: Dict[str, np.ndarray] = {}
+    if common_caption_dirs:
+        # reference uses the first common-caption dir only (data.py:424)
+        group = load_caption_tokens(common_caption_dirs[0], tokenizer)
+
+    return LatteCLIPTrainData(
+        shards=shards,
+        class_names=list(class_names),
+        zs_top1=zs_top1,
+        per_image_tokens=per_image,
+        group_tokens=group,
+        class_to_image_ids=class_to_image_ids,
+        gt_label={},
+    )
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    batch_size: int = 512
+    image_size: int = 224
+    seed: int = 0
+    shuffle_buffer: int = 5000
+    num_threads: int = 8
+    host_index: int = 0
+    host_count: int = 1
+    prefetch_batches: int = 2
+
+
+class TrainPipeline:
+    """Epoch-aware iterator over device-ready batches.
+
+    One instance per host; shards are split across hosts round-robin
+    (split_by_node semantics). Decode + crop runs on a thread pool; the
+    Python-side join is array gathers over the pre-tokenized tables.
+    """
+
+    def __init__(self, data: LatteCLIPTrainData, cfg: PipelineConfig, num_samples: int):
+        self.data = data
+        self.cfg = cfg
+        self.num_samples = num_samples
+        global_batch = cfg.batch_size * cfg.host_count
+        self.steps_per_epoch = max(1, num_samples // global_batch)
+        self._tok_dim = (
+            next(iter(data.group_tokens.values())).shape[0]
+            if data.group_tokens
+            else next(iter(data.per_image_tokens[0].values())).shape[0]
+            if data.per_image_tokens and data.per_image_tokens[0]
+            else 77
+        )
+        self._epoch_rngs: Dict[int, np.random.Generator] = {}
+
+    # -- sample-level assembly ---------------------------------------------
+    def _assemble(self, raw: Dict[str, bytes], rng: np.random.Generator) -> Optional[dict]:
+        image_id = raw["__key__"]
+        if image_id not in self.data.zs_top1:
+            return None  # no pseudo-label -> reference pipeline would KeyError; we skip
+        img_bytes = raw.get("jpg") or raw.get("jpeg") or raw.get("png") or raw.get("webp")
+        if img_bytes is None:
+            return None
+        try:
+            import io as _io
+
+            img = T.load_rgb(_io.BytesIO(img_bytes))
+            arr = T.random_resized_crop(img, self.cfg.image_size, rng)
+        except Exception as e:  # tolerant decode, reference data.py:208-211
+            logger.warning("decode failed for %s: %s", image_id, e)
+            return None
+
+        zs_pred = self.data.zs_top1[image_id]
+        zeros = np.zeros(self._tok_dim, dtype=np.int32)
+
+        if self.data.per_image_tokens:
+            dir_idx = int(rng.integers(len(self.data.per_image_tokens)))
+            per_image = self.data.per_image_tokens[dir_idx].get(image_id, zeros)
+        else:
+            per_image = zeros
+
+        donors = self.data.class_to_image_ids.get(zs_pred, [image_id])
+        donor = donors[int(rng.integers(len(donors)))]
+        per_group = self.data.group_tokens.get(donor, zeros)
+
+        meta = raw.get("json")
+        gt = -1
+        if meta is not None:
+            try:
+                gt_name = json.loads(meta)["class_name"].lower().replace("_", " ")
+                gt = self.data.class_names.index(gt_name) if gt_name in self.data.class_names else -1
+            except Exception:
+                gt = -1
+        return {
+            "image": arr,
+            "per_image_tokens": per_image,
+            "per_group_tokens": per_group,
+            "zs_pred": zs_pred,
+            "gt": gt,
+        }
+
+    # -- epoch iteration -----------------------------------------------------
+    def _sample_stream(self, epoch: int) -> Iterator[dict]:
+        cfg = self.cfg
+        rng = np.random.default_rng(cfg.seed * 1000003 + epoch * 97 + cfg.host_index)
+        while True:  # wraparound so steps_per_epoch full batches always exist
+            shards = shuffled_shards(self.data.shards, cfg.seed, epoch)
+            shards = split_shards(shards, cfg.host_index, cfg.host_count)
+            shuffle = ShuffleBuffer(cfg.shuffle_buffer, seed=cfg.seed + epoch)
+            raw_stream = shuffle(iter_shards_samples(shards))
+
+            def job(raw, seed):
+                return self._assemble(raw, np.random.default_rng(seed))
+
+            # bounded-inflight map: Executor.map would consume the stream
+            # eagerly; keep at most 2*threads decode jobs outstanding
+            from collections import deque
+
+            with ThreadPoolExecutor(max_workers=cfg.num_threads) as pool:
+                inflight: "deque" = deque()
+                exhausted = False
+                raw_it = iter(raw_stream)
+                while True:
+                    while not exhausted and len(inflight) < 2 * cfg.num_threads:
+                        try:
+                            raw = next(raw_it)
+                        except StopIteration:
+                            exhausted = True
+                            break
+                        inflight.append(pool.submit(job, raw, int(rng.integers(2**63))))
+                    if not inflight:
+                        break
+                    sample = inflight.popleft().result()
+                    if sample is not None:
+                        yield sample
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield exactly ``steps_per_epoch`` batches for this epoch."""
+        stream = self._sample_stream(epoch)
+        B = self.cfg.batch_size
+        for _ in range(self.steps_per_epoch):
+            samples = [next(stream) for _ in range(B)]
+            yield {
+                "images": np.stack([s["image"] for s in samples]),
+                "per_image_tokens": np.stack([s["per_image_tokens"] for s in samples]).astype(np.int32),
+                "per_group_tokens": np.stack([s["per_group_tokens"] for s in samples]).astype(np.int32),
+                "zs_preds": np.asarray([s["zs_pred"] for s in samples], dtype=np.int32),
+                "gt_labels": np.asarray([s["gt"] for s in samples], dtype=np.int32),
+            }
+
+
+def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
+    """Background-thread prefetch so host assembly overlaps device compute."""
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item
