@@ -1,9 +1,10 @@
 """TPU kernels: pallas implementations of the hot ops with XLA fallbacks.
 
-``attention_core`` is the single dispatch point used by the model towers.
-On TPU it routes to the pallas flash-attention kernel (``attention.py``);
-elsewhere (CPU tests, debugging) it uses a plain-XLA reference
-implementation. Set ``LATTECLIP_DISABLE_PALLAS=1`` to force the XLA path.
+``attention_core`` is the single dispatch point used by the model towers; it
+consumes the packed-head layout ``[B, L, H*D]`` the fused QKV projection
+naturally produces. On TPU it routes to the pallas flash-attention kernel
+(``attention.py``); elsewhere (CPU tests, debugging) a plain-XLA reference
+implementation is used. Set ``LATTECLIP_DISABLE_PALLAS=1`` to force XLA.
 """
 from __future__ import annotations
 
@@ -25,11 +26,18 @@ def _pallas_enabled() -> bool:
         return False
 
 
+def causal_bias(L: int) -> jnp.ndarray:
+    """Additive [L, L] causal mask: 0 on/below the diagonal, -1e9 above."""
+    i = jnp.arange(L)[:, None]
+    j = jnp.arange(L)[None, :]
+    return jnp.where(j > i, -1e9, 0.0).astype(jnp.float32)
+
+
 def xla_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    mask: Optional[jnp.ndarray],
+    causal: bool = False,
     dtype: jnp.dtype = jnp.bfloat16,
 ) -> jnp.ndarray:
     """Reference attention in plain XLA. q/k/v: [B, L, H, Hd] -> [B, L, H, Hd].
@@ -44,8 +52,8 @@ def xla_attention(
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k.astype(dtype), preferred_element_type=jnp.float32
     )
-    if mask is not None:
-        logits = logits + mask.astype(jnp.float32)
+    if causal:
+        logits = logits + causal_bias(q.shape[1])
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum(
         "bhqk,bkhd->bqhd", probs.astype(dtype), v.astype(dtype),
@@ -58,15 +66,24 @@ def attention_core(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    mask: Optional[jnp.ndarray],
+    num_heads: int,
+    causal: bool = False,
     dtype: jnp.dtype = jnp.bfloat16,
 ) -> jnp.ndarray:
-    """Dispatch to the pallas fused attention on TPU, XLA elsewhere."""
+    """Fused attention on packed-head [B, L, H*D] tensors."""
     if _pallas_enabled():
-        from latteclip_tpu.kernels.attention import flash_attention
+        from latteclip_tpu.kernels.attention import flash_attention_packed
 
-        try:
-            return flash_attention(q, k, v, mask, dtype=dtype)
-        except NotImplementedError:
-            pass
-    return xla_attention(q, k, v, mask, dtype=dtype)
+        return flash_attention_packed(
+            q.astype(dtype), k.astype(dtype), v.astype(dtype), num_heads, causal
+        )
+    B, L, HD = q.shape
+    D = HD // num_heads
+    out = xla_attention(
+        q.reshape(B, L, num_heads, D),
+        k.reshape(B, L, num_heads, D),
+        v.reshape(B, L, num_heads, D),
+        causal,
+        dtype=dtype,
+    )
+    return out.reshape(B, L, HD)

@@ -58,25 +58,23 @@ def mha(
     x: jnp.ndarray,
     p: Params,
     num_heads: int,
-    mask: Optional[jnp.ndarray],
+    causal: bool,
     dtype: jnp.dtype,
 ) -> jnp.ndarray:
     """Multi-head self-attention on ``[B, L, D]``.
 
     Logits and softmax in f32 (AMP-equivalent), value matmul in compute
-    dtype. ``mask`` is an additive ``[L, L]`` f32 mask or None.
+    dtype; optional causal masking.
     """
     B, L, D = x.shape
-    head_dim = D // num_heads
 
     qkv = dense(x, p["in_proj_w"], p["in_proj_b"], dtype)        # [B, L, 3D]
-    qkv = qkv.reshape(B, L, 3, num_heads, head_dim)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]           # [B, L, H, Hd]
+    # contiguous packed-head slices: no transpose or reshape copies
+    q, k, v = qkv[:, :, :D], qkv[:, :, D:2 * D], qkv[:, :, 2 * D:]
 
     from latteclip_tpu.kernels import attention_core
 
-    out = attention_core(q, k, v, mask, dtype=dtype)             # [B, L, H, Hd]
-    out = out.reshape(B, L, D)
+    out = attention_core(q, k, v, num_heads, causal, dtype=dtype)  # [B, L, D]
     return dense(out, p["out_proj_w"], p["out_proj_b"], dtype)
 
 
@@ -90,12 +88,12 @@ def residual_block(
     x: jnp.ndarray,
     p: Params,
     num_heads: int,
-    mask: Optional[jnp.ndarray],
+    causal: bool,
     act,
     dtype: jnp.dtype,
 ) -> jnp.ndarray:
     """Pre-LN residual attention block (reference transformer.py:231-243)."""
-    x = x + mha(layer_norm(x, p["ln_1_scale"], p["ln_1_bias"]), p, num_heads, mask, dtype)
+    x = x + mha(layer_norm(x, p["ln_1_scale"], p["ln_1_bias"]), p, num_heads, causal, dtype)
     x = x + mlp(
         layer_norm(x, p["ln_2_scale"], p["ln_2_bias"]),
         p,
@@ -109,7 +107,7 @@ def transformer_stack(
     x: jnp.ndarray,
     stacked: Params,
     num_heads: int,
-    mask: Optional[jnp.ndarray],
+    causal: bool,
     act,
     dtype: jnp.dtype,
     remat: bool = False,
@@ -117,7 +115,7 @@ def transformer_stack(
     """Run a stack of residual blocks via lax.scan over the layer axis."""
 
     def body(carry, layer_params):
-        out = residual_block(carry, layer_params, num_heads, mask, act, dtype)
+        out = residual_block(carry, layer_params, num_heads, causal, act, dtype)
         return out, None
 
     if remat:

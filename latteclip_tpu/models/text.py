@@ -75,9 +75,8 @@ def text_forward(
     x = params["token_embedding"][tokens].astype(dtype)            # [B, ctx, D]
     x = x + params["pos_embed"][:ctx].astype(dtype)
 
-    mask = None if cfg.no_causal_mask else causal_mask(ctx)
     x = layers.transformer_stack(
-        x, params["blocks"], cfg.heads, mask, act, dtype, remat=remat
+        x, params["blocks"], cfg.heads, not cfg.no_causal_mask, act, dtype, remat=remat
     )
     x = layers.layer_norm(x, params["ln_final_scale"], params["ln_final_bias"])
 

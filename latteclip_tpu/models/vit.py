@@ -97,7 +97,7 @@ def vit_forward(
         x = layers.layer_norm(x, params["ln_pre_scale"], params["ln_pre_bias"])
 
     x = layers.transformer_stack(
-        x, params["blocks"], cfg.heads, None, act, dtype, remat=remat
+        x, params["blocks"], cfg.heads, False, act, dtype, remat=remat
     )
 
     if cfg.final_ln_after_pool:

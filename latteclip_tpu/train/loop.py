@@ -1,0 +1,168 @@
+"""Training orchestration: epochs, eval, checkpointing, resume.
+
+The TPU counterpart of the reference's ``main.py`` epoch loop
+(``src/training/main.py:480-551``): per epoch — snapshot prototypes, run
+``steps_per_epoch`` fused steps, zero-shot eval with the prototype
+classifier (reference ``zero_shot.py:139-145``), save an OpenCLIP-format
+``.pt`` checkpoint (with ``memory_bank.<classname>`` keys) plus an atomic
+``epoch_latest.pt``; resume-latest discovery by natural epoch sort
+(reference ``main.py:56-69,546-551``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import re
+import time
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from latteclip_tpu.core.checkpoint import load_clip_pt, save_clip_pt
+from latteclip_tpu.core.config import CLIPConfig
+from latteclip_tpu.core.mesh import (
+    global_batch_from_local,
+    make_mesh,
+    make_sharded_train_step,
+    replicate,
+)
+from latteclip_tpu.data.eval_dataset import FlatFileDataset, iter_batches
+from latteclip_tpu.data.pipeline import TrainPipeline, prefetch
+from latteclip_tpu.eval.zero_shot import prototype_classifier, run_zero_shot_eval
+from latteclip_tpu.obs.meters import AverageMeter, Throughput, append_results_jsonl
+from latteclip_tpu.train.state import TrainState
+
+logger = logging.getLogger(__name__)
+
+_EPOCH_RE = re.compile(r"epoch_(\d+)\.pt$")
+
+
+def find_latest_checkpoint(checkpoint_dir: str) -> Optional[str]:
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    latest = os.path.join(checkpoint_dir, "epoch_latest.pt")
+    if os.path.exists(latest):
+        return latest
+    epochs = []
+    for f in os.listdir(checkpoint_dir):
+        m = _EPOCH_RE.search(f)
+        if m:
+            epochs.append((int(m.group(1)), os.path.join(checkpoint_dir, f)))
+    return max(epochs)[1] if epochs else None
+
+
+@dataclasses.dataclass
+class LoopConfig:
+    epochs: int
+    checkpoint_dir: str
+    name: str = "run"
+    log_every_n_steps: int = 10
+    zeroshot_frequency: int = 1
+    save_frequency: int = 1
+    delete_previous_checkpoint: bool = False
+    eval_batch_size: int = 64
+
+
+def evaluate_prototype_zero_shot(
+    state: TrainState,
+    cfg: CLIPConfig,
+    val_dataset: FlatFileDataset,
+    batch_size: int,
+) -> Dict[str, float]:
+    classifier = prototype_classifier(state.memory_bank)
+    return run_zero_shot_eval(
+        state.params, cfg, classifier,
+        iter_batches(val_dataset, batch_size, pad_final=True),
+    )
+
+
+def save_epoch_checkpoint(
+    state: TrainState,
+    cfg: CLIPConfig,
+    classnames: Sequence[str],
+    loop_cfg: LoopConfig,
+    epoch: int,
+) -> None:
+    os.makedirs(loop_cfg.checkpoint_dir, exist_ok=True)
+    bank = np.asarray(state.memory_bank)
+    path = os.path.join(loop_cfg.checkpoint_dir, f"epoch_{epoch}.pt")
+    save_clip_pt(
+        path, state.params, cfg,
+        epoch=epoch, name=loop_cfg.name,
+        memory_bank=bank, classnames=list(classnames),
+    )
+    if loop_cfg.delete_previous_checkpoint:
+        prev = os.path.join(loop_cfg.checkpoint_dir, f"epoch_{epoch - 1}.pt")
+        if os.path.exists(prev):
+            os.remove(prev)
+    # atomic latest (save_clip_pt already writes tmp + os.replace)
+    save_clip_pt(
+        os.path.join(loop_cfg.checkpoint_dir, "epoch_latest.pt"),
+        state.params, cfg,
+        epoch=epoch, name=loop_cfg.name,
+        memory_bank=bank, classnames=list(classnames),
+    )
+
+
+def train(
+    state: TrainState,
+    step_fn,
+    pipeline: TrainPipeline,
+    cfg: CLIPConfig,
+    loop_cfg: LoopConfig,
+    classnames: Sequence[str],
+    val_dataset: Optional[FlatFileDataset] = None,
+    start_epoch: int = 0,
+    seed: int = 0,
+    mesh=None,
+) -> TrainState:
+    """Run the full fine-tune; returns the final state."""
+    mesh = mesh or make_mesh()
+    sharded_step = make_sharded_train_step(step_fn, mesh)
+    state = replicate(state, mesh)
+    is_master = jax.process_index() == 0
+    results_path = os.path.join(loop_cfg.checkpoint_dir, "results.jsonl")
+
+    for epoch in range(start_epoch, loop_cfg.epochs):
+        state = state.start_epoch()
+        meters: Dict[str, AverageMeter] = {}
+        thr = Throughput(pipeline.cfg.batch_size, jax.device_count())
+        pending = None  # delayed metrics readback: keeps the device busy
+
+        for i, host_batch in enumerate(prefetch(pipeline.epoch(epoch), size=pipeline.cfg.prefetch_batches)):
+            thr.tick_data()
+            batch = global_batch_from_local(host_batch, mesh)
+            rng = jax.random.fold_in(jax.random.PRNGKey(seed), epoch * 100003 + i)
+            state, metrics = sharded_step(state, batch, rng)
+            thr.tick_batch()
+
+            if is_master and (i % loop_cfg.log_every_n_steps == 0 or i == pipeline.steps_per_epoch - 1):
+                host_metrics = jax.device_get(metrics)  # ONE host sync for all scalars
+                for k, v in host_metrics.items():
+                    meters.setdefault(k, AverageMeter()).update(float(v), pipeline.cfg.batch_size)
+                logger.info(
+                    "Train Epoch: %d [%d/%d] Data (t): %.3f Batch (t): %.3f, %#g/s, %#g/s/chip "
+                    "Logit Scale: %.3f Loss: %.5g (%.5g)",
+                    epoch, (i + 1) * pipeline.cfg.batch_size, pipeline.num_samples,
+                    thr.data_time.avg, thr.batch_time.avg,
+                    thr.samples_per_second, thr.samples_per_second_per_chip,
+                    meters["logit_scale"].val, meters["loss"].val, meters["loss"].avg,
+                )
+
+        completed = epoch + 1
+        if (
+            val_dataset is not None
+            and loop_cfg.zeroshot_frequency
+            and (completed % loop_cfg.zeroshot_frequency == 0 or completed == loop_cfg.epochs)
+            and is_master
+        ):
+            eval_metrics = evaluate_prototype_zero_shot(state, cfg, val_dataset, loop_cfg.eval_batch_size)
+            logger.info("Eval Epoch: %d %s", completed, {k: round(v, 4) for k, v in eval_metrics.items()})
+            append_results_jsonl(results_path, {"epoch": completed, **eval_metrics})
+
+        if is_master and loop_cfg.save_frequency and (completed % loop_cfg.save_frequency == 0 or completed == loop_cfg.epochs):
+            save_epoch_checkpoint(state, cfg, classnames, loop_cfg, completed)
+
+    return state

@@ -1,0 +1,264 @@
+"""Entry point: ``python -m latteclip_tpu.train.main`` (reference: training.main).
+
+Wires the pieces the way the reference ``main()`` does
+(``src/training/main.py:72-551``): resolve eval dataset + templates →
+build/load model → init memory bank → optimizer + schedule → data pipeline →
+epoch loop with per-epoch zero-shot eval + checkpointing. Also hosts the
+eval-only and feature-extraction modes (``--extract-features-path``,
+reference ``main.py:470-478``) and a hermetic ``--dataset-type synthetic``
+smoke mode (reference ``data.py:812-862`` equivalent).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import sys
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from latteclip_tpu.core import checkpoint as ckpt
+from latteclip_tpu.core.config import CLIPConfig, get_model_config
+from latteclip_tpu.core.mesh import initialize_distributed, make_mesh
+from latteclip_tpu.data.eval_dataset import FlatFileDataset
+from latteclip_tpu.data.pipeline import PipelineConfig, TrainPipeline, build_train_data
+from latteclip_tpu.eval.features import extract_features
+from latteclip_tpu.models import clip as clip_mod
+from latteclip_tpu.models.tokenizer import get_tokenizer
+from latteclip_tpu.train import loop as loop_mod
+from latteclip_tpu.train.loop import LoopConfig, find_latest_checkpoint
+from latteclip_tpu.train.optim import make_optimizer, make_schedule
+from latteclip_tpu.train.params import parse_args
+from latteclip_tpu.train.state import (
+    build_template_table,
+    create_train_state,
+    init_memory_bank,
+)
+from latteclip_tpu.train.step import LatteHParams, make_flyp_step, make_train_step
+
+logger = logging.getLogger("latteclip_tpu")
+
+
+def setup_logging(log_path: Optional[str] = None):
+    handlers = [logging.StreamHandler(sys.stderr)]
+    if log_path:
+        os.makedirs(os.path.dirname(log_path), exist_ok=True)
+        handlers.append(logging.FileHandler(log_path))
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s | %(levelname)s | %(message)s",
+        datefmt="%Y-%m-%d,%H:%M:%S",
+        handlers=handlers,
+        force=True,
+    )
+
+
+def resolve_preprocess_path(args) -> str:
+    if args.eval_preprocess_path:
+        return args.eval_preprocess_path
+    data_dir = args.data_dir or os.environ.get("LATTECLIP_DATA_DIR")
+    if not data_dir or not args.zeroshot_eval_data:
+        raise SystemExit(
+            "need --eval-preprocess-path, or --zeroshot-eval-data with "
+            "--data-dir / $LATTECLIP_DATA_DIR"
+        )
+    return os.path.join(data_dir, f"{args.zeroshot_eval_data}_preprocess")
+
+
+def build_model(args):
+    cfg = get_model_config(args.model)
+    if args.precision == "fp32":
+        cfg = dataclasses.replace(cfg, compute_dtype="float32")
+    if args.force_quick_gelu:
+        cfg = dataclasses.replace(cfg, quick_gelu=True)
+    if args.pretrained:
+        params, bank_dict, _meta = ckpt.load_clip_pt(args.pretrained, cfg)
+        logger.info("loaded pretrained weights from %s", args.pretrained)
+    else:
+        params = clip_mod.init_clip_params(jax.random.PRNGKey(args.seed), cfg)
+        bank_dict = {}
+    return cfg, params, bank_dict
+
+
+def _synthetic_root(args, cfg) -> str:
+    import tempfile
+
+    from latteclip_tpu.data import synthetic
+
+    root = tempfile.mkdtemp(prefix="latteclip_synth_")
+    synthetic.make_full_fixture(
+        root,
+        num_train=max(args.batch_size * 2, 64),
+        num_val=32,
+        image_size=cfg.vision.image_size,
+    )
+    return root
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    # escape hatch for hosts whose sitecustomize pins jax to a platform
+    platform = os.environ.get("LATTECLIP_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    initialize_distributed()
+
+    name = args.name or f"{args.model}_lr{args.lr}_b{args.batch_size}"
+    log_dir = os.path.join(args.logs, name)
+    checkpoint_dir = os.path.join(log_dir, "checkpoints")
+    setup_logging(os.path.join(log_dir, "out.log") if jax.process_index() == 0 else None)
+    logger.info("devices: %s", jax.devices())
+
+    if jax.process_index() == 0:  # config dump, reference main.py:311-316
+        os.makedirs(log_dir, exist_ok=True)
+        with open(os.path.join(log_dir, "params.txt"), "w") as f:
+            for k in sorted(vars(args)):
+                f.write(f"{k}: {getattr(args, k)}\n")
+
+    cfg, params, bank_dict = build_model(args)
+    tokenizer = get_tokenizer(cfg.text.context_length)
+
+    synthetic_mode = args.dataset_type == "synthetic"
+    if synthetic_mode:
+        preprocess_path = _synthetic_root(args, cfg)
+        dataset_name = "dtd"
+    else:
+        preprocess_path = resolve_preprocess_path(args)
+        dataset_name = args.zeroshot_eval_data or "default"
+
+    split = args.extract_features_split
+    eval_split_ds = FlatFileDataset(
+        preprocess_path, train=(split == "train"),
+        image_size=cfg.vision.image_size, dataset_name=dataset_name,
+    )
+    classnames = eval_split_ds.display_class_names
+    templates = eval_split_ds.templates
+
+    # ---- feature-extraction mode -------------------------------------------
+    if args.extract_features_path:
+        extract_features(
+            params, cfg, tokenizer, eval_split_ds,
+            args.extract_features_path, split,
+            batch_size=args.batch_size,
+        )
+        return 0
+
+    val_dataset = FlatFileDataset(
+        preprocess_path, train=False,
+        image_size=cfg.vision.image_size, dataset_name=dataset_name,
+    )
+
+    # ---- memory bank (reference main.py:262 -> model.py:489-499) ------------
+    if bank_dict and all(c in bank_dict for c in classnames):
+        bank = np.stack([bank_dict[c] for c in classnames])
+        logger.info("restored memory bank from checkpoint (%d classes)", len(classnames))
+    else:
+        bank = init_memory_bank(params, cfg, tokenizer, classnames, templates)
+        logger.info("initialized memory bank from templates (%d classes)", len(classnames))
+
+    # ---- data -----------------------------------------------------------------
+    if synthetic_mode:
+        train_shards = os.path.join(preprocess_path, "webdataset", "train_tars")
+        clip_pred = os.path.join(preprocess_path, "clip_features_train.pkl")
+        caption_dirs = [os.path.join(preprocess_path, "captions_per_image")]
+        common_dirs = [os.path.join(preprocess_path, "captions_per_group")]
+        num_samples = args.train_num_samples or args.batch_size * 2
+    else:
+        if not (args.train_data and args.clip_prediction_path):
+            raise SystemExit("--train-data and --clip-prediction-path are required")
+        train_shards = args.train_data
+        clip_pred = args.clip_prediction_path
+        caption_dirs = args.generated_captions_path or []
+        common_dirs = args.generated_common_captions_path or []
+        num_samples = args.train_num_samples
+        if not num_samples:
+            raise SystemExit("--train-num-samples is required for webdataset training")
+
+    data = build_train_data(train_shards, clip_pred, caption_dirs, common_dirs,
+                            classnames, tokenizer)
+    pipe_cfg = PipelineConfig(
+        batch_size=args.batch_size,
+        image_size=cfg.vision.image_size,
+        seed=args.seed,
+        num_threads=args.workers,
+        host_index=jax.process_index(),
+        host_count=jax.process_count(),
+    )
+    pipeline = TrainPipeline(data, pipe_cfg, num_samples)
+    total_steps = pipeline.steps_per_epoch * args.epochs
+
+    # ---- optimizer + step --------------------------------------------------
+    cooldown = pipeline.steps_per_epoch * args.epochs_cooldown if args.epochs_cooldown else 0
+    schedule = make_schedule(
+        args.lr_scheduler, args.lr, args.warmup, total_steps,
+        cooldown_steps=cooldown,
+        cooldown_power=args.lr_cooldown_power,
+        cooldown_end_lr=args.lr_cooldown_end,
+    )
+    optimizer = make_optimizer(
+        schedule, beta1=args.beta1, beta2=args.beta2, eps=args.eps,
+        weight_decay=args.wd, grad_clip_norm=args.grad_clip_norm,
+    )
+
+    hp = LatteHParams(
+        alpha=args.alpha,
+        use_template_caption=args.use_template_caption,
+        use_image_caption=args.use_image_caption,
+        use_batch_caption=args.use_batch_caption,
+        use_zeroshot_pseudolabel=args.use_zeroshot_pseudolabel,
+        use_finetune_pseudolabel=args.use_finetune_pseudolabel,
+        remat=args.grad_checkpointing,
+    )
+    table = build_template_table(tokenizer, classnames, templates)
+    if args.method == "ours":
+        step_fn = make_train_step(cfg, optimizer, hp, table)
+    else:
+        step_fn = make_flyp_step(cfg, optimizer, hp, table, use_gt=(args.method == "flyp_gt"))
+
+    state = create_train_state(params, optimizer, bank)
+
+    # ---- resume ----------------------------------------------------------------
+    start_epoch = 0
+    if args.resume:
+        path = find_latest_checkpoint(checkpoint_dir) if args.resume == "latest" else args.resume
+        if path:
+            r_params, r_bank, r_meta = ckpt.load_clip_pt(path, cfg)
+            r_bank_arr = (
+                np.stack([r_bank[c] for c in classnames])
+                if r_bank and all(c in r_bank for c in classnames)
+                else bank
+            )
+            start_epoch = int(r_meta.get("epoch", 0))
+            state = create_train_state(r_params, optimizer, r_bank_arr)
+            state = state.replace(step=jnp.asarray(start_epoch * pipeline.steps_per_epoch, jnp.int32))
+            logger.info("resumed from %s (epoch %d)", path, start_epoch)
+        else:
+            logger.info("no checkpoint to resume from in %s", checkpoint_dir)
+
+    loop_cfg = LoopConfig(
+        epochs=args.epochs,
+        checkpoint_dir=checkpoint_dir,
+        name=name,
+        log_every_n_steps=args.log_every_n_steps,
+        zeroshot_frequency=args.zeroshot_frequency,
+        save_frequency=args.save_frequency,
+        delete_previous_checkpoint=args.delete_previous_checkpoint,
+        eval_batch_size=args.eval_batch_size,
+    )
+    mesh = make_mesh(model_parallelism=args.model_parallelism)
+    loop_mod.train(
+        state, step_fn, pipeline, cfg, loop_cfg,
+        classnames=classnames,
+        val_dataset=val_dataset,
+        start_epoch=start_epoch,
+        seed=args.seed,
+        mesh=mesh,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

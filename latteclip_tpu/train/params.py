@@ -1,0 +1,91 @@
+"""CLI argument surface (compatible subset of reference src/training/params.py).
+
+Flag names and defaults follow the reference where the concept carries over
+(``--train-data``, ``--clip-prediction-path``, ``--generated-captions-path``
+(append), ``--zeroshot-eval-data``, ``--alpha``, ``--use-*`` gates,
+``--method``, optimizer/schedule flags with the ViT-family defaults from
+``params.py:5-11``). GPU-specific flags (AMP scaler, DDP, horovod, torch
+compile) have no TPU counterpart: precision is the bf16 policy, data
+parallelism is the mesh, and every step is compiled by construction.
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser("latteclip_tpu.train")
+
+    # data
+    p.add_argument("--train-data", type=str, default=None,
+                   help="tar shard pattern, e.g. .../train_tar/{00000..00039}.tar")
+    p.add_argument("--dataset-type", choices=["webdataset", "synthetic"], default="webdataset")
+    p.add_argument("--train-num-samples", type=int, default=None)
+    p.add_argument("--clip-prediction-path", type=str, default=None,
+                   help="clip_features_train.pkl from the feature-extraction job")
+    p.add_argument("--generated-captions-path", type=str, action="append", default=None)
+    p.add_argument("--generated-common-captions-path", type=str, action="append", default=None)
+    p.add_argument("--zeroshot-eval-data", type=str, default=None,
+                   help="dataset key (dtd, eurosat, ...); resolves templates + classnames")
+    p.add_argument("--data-dir", type=str, default=None,
+                   help="root holding <ds>_preprocess dirs (defaults to $LATTECLIP_DATA_DIR)")
+    p.add_argument("--eval-preprocess-path", type=str, default=None,
+                   help="explicit preprocess dir (overrides --data-dir/<ds>_preprocess)")
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--class-per-image", type=int, default=5)  # accepted for parity
+    p.add_argument("--extract-features-path", type=str, default=None,
+                   help="run the pseudo-label extraction job into this dir and exit")
+    p.add_argument("--extract-features-split", type=str, default="train")
+
+    # model
+    p.add_argument("--model", type=str, default="ViT-B-32")
+    p.add_argument("--pretrained", type=str, default=None,
+                   help="path to an OpenCLIP .pt state dict / checkpoint")
+    p.add_argument("--precision", type=str, default="bf16",
+                   choices=["bf16", "fp32"], help="compute dtype policy")
+    p.add_argument("--grad-checkpointing", action="store_true")
+    p.add_argument("--force-quick-gelu", action="store_true")
+
+    # optimization (ViT defaults, reference params.py:5-11)
+    p.add_argument("--lr", type=float, default=5.0e-4)
+    p.add_argument("--beta1", type=float, default=0.9)
+    p.add_argument("--beta2", type=float, default=0.98)
+    p.add_argument("--eps", type=float, default=1.0e-6)
+    p.add_argument("--wd", type=float, default=0.2)
+    p.add_argument("--warmup", type=int, default=10000)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--epochs", type=int, default=32)
+    p.add_argument("--lr-scheduler", type=str, default="cosine",
+                   choices=["cosine", "const", "const-cooldown"])
+    p.add_argument("--epochs-cooldown", type=int, default=None)
+    p.add_argument("--lr-cooldown-end", type=float, default=0.0)
+    p.add_argument("--lr-cooldown-power", type=float, default=1.0)
+    p.add_argument("--grad-clip-norm", type=float, default=None)
+
+    # LatteCLIP objective
+    p.add_argument("--method", type=str, default="ours", choices=["ours", "flyp", "flyp_gt"])
+    p.add_argument("--alpha", type=float, default=0.01)
+    p.add_argument("--beta", type=float, default=0.01)   # accepted for parity
+    p.add_argument("--gamma", type=float, default=0.0)   # accepted for parity
+    p.add_argument("--use-template-caption", type=float, default=1.0)
+    p.add_argument("--use-image-caption", type=float, default=1.0)
+    p.add_argument("--use-batch-caption", type=float, default=1.0)
+    p.add_argument("--use-zeroshot-pseudolabel", type=float, default=1.0)
+    p.add_argument("--use-finetune-pseudolabel", type=float, default=1.0)
+    p.add_argument("--text-type", type=str, default="concat")  # accepted for parity
+
+    # bookkeeping
+    p.add_argument("--logs", type=str, default="./logs/")
+    p.add_argument("--name", type=str, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", type=str, default=None, help="'latest' or a checkpoint path")
+    p.add_argument("--zeroshot-frequency", type=int, default=1)
+    p.add_argument("--save-frequency", type=int, default=1)
+    p.add_argument("--delete-previous-checkpoint", action="store_true")
+    p.add_argument("--log-every-n-steps", type=int, default=10)
+    p.add_argument("--eval-batch-size", type=int, default=64)
+
+    # parallelism
+    p.add_argument("--model-parallelism", type=int, default=1)
+
+    return p.parse_args(argv)

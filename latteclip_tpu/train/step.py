@@ -1,0 +1,269 @@
+"""The LatteCLIP training step — one fused, jittable function.
+
+Implements the algorithm of the reference's ``train_one_epoch_v2`` inner
+loop (``src/training/train.py:358-565``) as a single pure function:
+
+  1. augment+normalize uint8 images (fused into the step);
+  2. image forward → prototype-classifier logits → fine-tune pseudo-labels;
+  3. ONE batched text forward over ``[4B, 77]`` tokens — template(preds),
+     template(zs_preds), per-image caption, per-group caption — replacing the
+     reference's four separate ``encode_text`` calls (train.py:437-442);
+  4. confidence-weighted caption fusion (top1−top2 margin vs the epoch
+     prototypes, gated by use_{template,image,batch}_caption —
+     train.py:444-484);
+  5. prototype anchoring ``proto + α (fused − proto)`` (train.py:487-488);
+  6. two symmetric InfoNCE losses (fine-tune + zero-shot branches,
+     train.py:491-504);
+  7. grads + AdamW update, logit-scale clamp to [0, ln 100] (train.py:563-565);
+  8. memory-bank update: per-class mean of this batch's anchored text
+     features over both branches, renormalized; unseen classes keep their
+     rows (replaces the reference's Python dict loop, train.py:508-530).
+
+Read-before-write dataflow note: the classifier/anchor reads happen before
+the bank write, from the same batch, exactly as in the reference.
+
+The "FLYP" baseline step (``train_one_epoch_original_clip``,
+train.py:76-284) is also provided: plain InfoNCE against template texts of
+the pseudo-label (or ground truth).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from latteclip_tpu.core.config import CLIPConfig
+from latteclip_tpu.data import transforms as T
+from latteclip_tpu.models import clip as clip_mod
+from latteclip_tpu.models.layers import l2_normalize
+from latteclip_tpu.train.objective import clip_loss, text_confidence_weights
+from latteclip_tpu.train.state import TrainState
+
+LOG100 = 4.6051702  # ln(100), reference train.py:563-565
+WEIGHT_EPS = 1e-6   # reference train.py:444-449
+
+
+@dataclasses.dataclass(frozen=True)
+class LatteHParams:
+    """Static hyperparameters of the v2 objective (reference params.py flags)."""
+
+    alpha: float = 0.01                 # prototype blend, params.py:408-412
+    use_template_caption: float = 1.0   # params.py:43-75 gates
+    use_image_caption: float = 1.0
+    use_batch_caption: float = 1.0
+    use_zeroshot_pseudolabel: float = 1.0
+    use_finetune_pseudolabel: float = 1.0
+    remat: bool = False                 # grad checkpointing (off: TPU HBM fits)
+    augment: bool = True
+
+
+def _fuse(
+    label_f, per_img_f, per_grp_f, w_label, w_img, w_grp
+) -> jnp.ndarray:
+    total = w_label + w_img + w_grp
+    fused = (
+        w_label[:, None] * label_f
+        + w_img[:, None] * per_img_f
+        + w_grp[:, None] * per_grp_f
+    )
+    return fused / total[:, None]
+
+
+def latteclip_loss_fn(
+    params,
+    cfg: CLIPConfig,
+    hp: LatteHParams,
+    batch: Dict[str, jnp.ndarray],
+    images: jnp.ndarray,
+    memory_bank: jnp.ndarray,
+    prototypes: jnp.ndarray,
+    template_table: jnp.ndarray,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    zs_preds = batch["zs_preds"]
+
+    image_features = clip_mod.encode_image(params, cfg, images, normalize=True, remat=hp.remat)
+    logit_scale = jnp.exp(params["logit_scale"])
+
+    # fine-tune pseudo-labels from the live prototype classifier (train.py:384-411)
+    classifier = l2_normalize(memory_bank)
+    logits_cls = 100.0 * image_features @ classifier.T
+    preds = jnp.argmax(logits_cls, axis=1)
+
+    # Template streams: encode the C unique class templates ONCE and gather
+    # rows — gradient-identical to encoding template_table[preds] per sample
+    # (the gather's transpose scatter-adds the cotangents), but O(C) instead
+    # of O(B) text-tower work for the label streams. The caption streams are
+    # per-sample unique and batch into one forward.
+    class_text_feats = clip_mod.encode_text(
+        params, cfg, template_table, normalize=True, remat=hp.remat
+    )  # [C, E]
+    label_f = class_text_feats[preds]
+    label_zs_f = class_text_feats[zs_preds]
+
+    caption_tokens = jnp.concatenate(
+        [batch["per_image_tokens"], batch["per_group_tokens"]], axis=0
+    )
+    caption_feats = clip_mod.encode_text(
+        params, cfg, caption_tokens, normalize=True, remat=hp.remat
+    )
+    per_img_f, per_grp_f = jnp.split(caption_feats, 2, axis=0)
+
+    # confidence weights vs the epoch prototypes (detached), + gates
+    w_img = text_confidence_weights(per_img_f, prototypes) + WEIGHT_EPS
+    w_grp = text_confidence_weights(per_grp_f, prototypes) + WEIGHT_EPS
+    w_label = text_confidence_weights(label_f, prototypes) + WEIGHT_EPS
+    w_label_zs = text_confidence_weights(label_zs_f, prototypes) + WEIGHT_EPS
+
+    w_img_g = w_img * hp.use_image_caption
+    w_grp_g = w_grp * hp.use_batch_caption
+    w_label_g = w_label * hp.use_template_caption
+    w_label_zs_g = w_label_zs * hp.use_template_caption
+
+    text_fused = _fuse(label_f, per_img_f, per_grp_f, w_label_g, w_img_g, w_grp_g)
+    text_fused_zs = _fuse(label_zs_f, per_img_f, per_grp_f, w_label_zs_g, w_img_g, w_grp_g)
+
+    # prototype anchoring (train.py:487-488)
+    anchor = memory_bank[preds]
+    anchor_zs = memory_bank[zs_preds]
+    text_final = anchor + hp.alpha * (text_fused - anchor)
+    text_final_zs = anchor_zs + hp.alpha * (text_fused_zs - anchor_zs)
+
+    loss_ft = clip_loss(image_features, text_final, logit_scale)
+    loss_zs = clip_loss(image_features, text_final_zs, logit_scale) * hp.use_zeroshot_pseudolabel
+    total = (loss_ft + loss_zs) * hp.use_finetune_pseudolabel
+
+    aux = {
+        "loss": total,
+        "contrastive_loss": loss_ft,
+        "zeroshot": loss_zs,
+        "preds": preds,
+        "text_final": jax.lax.stop_gradient(text_final),
+        "text_final_zs": jax.lax.stop_gradient(text_final_zs),
+        "logit_scale": logit_scale,
+        "pseudo_agreement": jnp.mean((preds == zs_preds).astype(jnp.float32)),
+    }
+    return total, aux
+
+
+def update_memory_bank(
+    memory_bank: jnp.ndarray,
+    preds: jnp.ndarray,
+    zs_preds: jnp.ndarray,
+    text_final: jnp.ndarray,
+    text_final_zs: jnp.ndarray,
+) -> jnp.ndarray:
+    """Segment-mean bank update over both branches (train.py:508-530).
+
+    Under a mesh the features/ids are batch-sharded while the bank is
+    replicated; XLA turns the segment sums into psums, so every host applies
+    the same global update — defining the synchronization the reference
+    leaves undefined (its per-rank bank silently diverges, SURVEY §2.4).
+    """
+    C = memory_bank.shape[0]
+    seg_ids = jnp.concatenate([zs_preds, preds])
+    feats = jnp.concatenate([text_final_zs, text_final]).astype(jnp.float32)
+    sums = jax.ops.segment_sum(feats, seg_ids, num_segments=C)
+    counts = jax.ops.segment_sum(jnp.ones((feats.shape[0],), jnp.float32), seg_ids, num_segments=C)
+    means = sums / jnp.maximum(counts, 1.0)[:, None]
+    updated = l2_normalize(means)
+    return jnp.where((counts > 0)[:, None], updated, memory_bank)
+
+
+def make_train_step(
+    cfg: CLIPConfig,
+    optimizer: optax.GradientTransformation,
+    hp: LatteHParams,
+    template_table: jnp.ndarray,
+    aug: Optional[T.AugConfig] = None,
+):
+    """Build the jittable LatteCLIP step: (state, batch, rng) -> (state, metrics)."""
+    aug = aug or T.AugConfig()
+    template_table = jnp.asarray(template_table)
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        if hp.augment:
+            images = T.train_augment_normalize(batch["images"], rng, aug)
+        else:
+            images = T.normalize_images(batch["images"])
+
+        grad_fn = jax.value_and_grad(latteclip_loss_fn, has_aux=True)
+        (loss, aux), grads = grad_fn(
+            state.params, cfg, hp, batch, images,
+            state.memory_bank, state.prototypes, template_table,
+        )
+
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        params = dict(params, logit_scale=jnp.clip(params["logit_scale"], 0.0, LOG100))
+
+        bank = update_memory_bank(
+            state.memory_bank, aux["preds"], batch["zs_preds"],
+            aux["text_final"], aux["text_final_zs"],
+        )
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            memory_bank=bank,
+        )
+        metrics = {
+            "loss": loss,
+            "contrastive_loss": aux["contrastive_loss"],
+            "zeroshot": aux["zeroshot"],
+            "logit_scale": aux["logit_scale"],
+            "pseudo_agreement": aux["pseudo_agreement"],
+        }
+        return new_state, metrics
+
+    return step_fn
+
+
+# ---------------------------------------------------------------------------
+# FLYP baseline (train_one_epoch_original_clip, train.py:76-284)
+# ---------------------------------------------------------------------------
+
+def flyp_loss_fn(params, cfg, hp, batch, images, template_table, use_gt: bool):
+    image_features = clip_mod.encode_image(params, cfg, images, normalize=True, remat=hp.remat)
+    labels = batch["gt_labels"] if use_gt else batch["zs_preds"]
+    # encode unique class templates once, gather rows (gradient-identical)
+    class_text_feats = clip_mod.encode_text(
+        params, cfg, template_table, normalize=True, remat=hp.remat
+    )
+    text_features = class_text_feats[labels]
+    logit_scale = jnp.exp(params["logit_scale"])
+    loss = clip_loss(image_features, text_features, logit_scale)
+    return loss, {"loss": loss, "contrastive_loss": loss, "logit_scale": logit_scale}
+
+
+def make_flyp_step(
+    cfg: CLIPConfig,
+    optimizer: optax.GradientTransformation,
+    hp: LatteHParams,
+    template_table: jnp.ndarray,
+    use_gt: bool = False,
+    aug: Optional[T.AugConfig] = None,
+):
+    aug = aug or T.AugConfig()
+    template_table = jnp.asarray(template_table)
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        if hp.augment:
+            images = T.train_augment_normalize(batch["images"], rng, aug)
+        else:
+            images = T.normalize_images(batch["images"])
+        grad_fn = jax.value_and_grad(flyp_loss_fn, has_aux=True)
+        (loss, metrics), grads = grad_fn(
+            state.params, cfg, hp, batch, images, template_table, use_gt
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        params = dict(params, logit_scale=jnp.clip(params["logit_scale"], 0.0, LOG100))
+        new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
+        return new_state, metrics
+
+    return step_fn

@@ -1,0 +1,70 @@
+"""Flash-attention kernel vs XLA reference: values and gradients.
+
+Runs in pallas interpret mode on CPU (the kernel auto-selects interpret off
+TPU), so the exact same kernel code is validated in CI and compiled on TPU.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from latteclip_tpu.kernels import xla_attention
+from latteclip_tpu.kernels.attention import flash_attention
+
+
+def _qkv(B=2, L=77, H=4, D=64, seed=0):
+    rng = np.random.RandomState(seed)
+    mk = lambda: jnp.asarray(rng.randn(B, L, H, D).astype(np.float32) * 0.3, jnp.bfloat16)
+    return mk(), mk(), mk()
+
+
+@pytest.mark.parametrize("L,causal", [(50, False), (77, True), (197, False), (130, False), (77, False)])
+def test_forward_matches_xla(L, causal):
+    q, k, v = _qkv(L=L)
+    ours = np.asarray(flash_attention(q, k, v, causal), np.float32)
+    ref = np.asarray(xla_attention(q, k, v, causal, dtype=jnp.bfloat16), np.float32)
+    assert ours.shape == ref.shape == q.shape
+    np.testing.assert_allclose(ours, ref, atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_gradients_match_xla(causal):
+    q, k, v = _qkv(L=77)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal).astype(jnp.float32) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, causal, dtype=jnp.bfloat16).astype(jnp.float32) ** 2)
+
+    g_ours = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for ours, ref, name in zip(g_ours, g_ref, "qkv"):
+        ours = np.asarray(ours, np.float32)
+        ref = np.asarray(ref, np.float32)
+        denom = max(np.abs(ref).max(), 1e-3)
+        assert np.abs(ours - ref).max() / denom < 0.05, f"d{name} mismatch"
+
+
+def test_odd_group_sizes():
+    """BH not divisible by 16/8 must still work (e.g. 47 classes × 1 head)."""
+    q, k, v = _qkv(B=3, H=1, L=50)
+    out = np.asarray(flash_attention(q, k, v, False), np.float32)
+    ref = np.asarray(xla_attention(q, k, v, False, dtype=jnp.bfloat16), np.float32)
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_padding_is_invisible():
+    """L=130 pads to 256; padded keys must not leak into the output."""
+    q, k, v = _qkv(L=130)
+    out = np.asarray(flash_attention(q, k, v, False), np.float32)
+    assert np.isfinite(out).all()
+    ref = np.asarray(xla_attention(q, k, v, False, dtype=jnp.bfloat16), np.float32)
+    np.testing.assert_allclose(out[:, :8], ref[:, :8], atol=2e-2, rtol=2e-2)
+
+
+def test_dispatcher_uses_xla_on_cpu():
+    from latteclip_tpu.kernels import _pallas_enabled
+
+    assert _pallas_enabled() is False  # tests run on CPU
