@@ -1,0 +1,23 @@
+#!/usr/bin/env bash
+# Preprocess stanford_cars: dataset -> webdataset -> tar shards -> pseudo-labels
+# (pipeline parity with reference scripts/preprocess/preprocess_stanford_cars.sh)
+set -euo pipefail
+: "${LATTECLIP_DATA_DIR:?set LATTECLIP_DATA_DIR}"
+SRC="$LATTECLIP_DATA_DIR/stanford_cars"
+P="$LATTECLIP_DATA_DIR/stanford_cars_preprocess"
+
+python -m latteclip_tpu.preprocess.to_webdataset --dataset stanford_cars --dataset-dir "$SRC" --preprocess-dir "$P"
+python -m latteclip_tpu.preprocess.create_tarfiles --input-dir "$P/webdataset/train" --output-dir "$P/webdataset/train_tar"
+python -m latteclip_tpu.preprocess.create_tarfiles --input-dir "$P/webdataset/val" --output-dir "$P/webdataset/val_tar"
+
+# frozen-CLIP pseudo-labels for both splits (feeds captioning + training)
+for SPLIT in train val; do
+  python -m latteclip_tpu.train.main \
+    --zeroshot-eval-data stanford_cars \
+    --eval-preprocess-path "$P" \
+    --model ViT-B-32 \
+    --pretrained "$LATTECLIP_DATA_DIR/checkpoints/ViT-B-32_laion2b_s34b_b79k.pt" \
+    --batch-size 64 \
+    --extract-features-path "$P" \
+    --extract-features-split "$SPLIT"
+done
