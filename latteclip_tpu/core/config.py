@@ -29,6 +29,8 @@ class VisionConfig:
     pool_type: str = "tok"          # 'tok' | 'avg'
     final_ln_after_pool: bool = False
     no_ln_pre: bool = False
+    patch_dropout: float = 0.0      # train-time patch dropout probability
+    pos_embed_type: str = "learnable"  # 'learnable' | 'sin_cos_2d'
 
     @property
     def heads(self) -> int:

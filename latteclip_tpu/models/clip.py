@@ -42,10 +42,13 @@ def encode_image(
     *,
     normalize: bool = False,
     remat: bool = False,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     feats = vit_mod.vit_forward(
         params["visual"], cfg.vision, images,
         dtype=_dtype(cfg), quick_gelu=cfg.quick_gelu, remat=remat,
+        train=train, rng=rng,
     )
     return l2_normalize(feats) if normalize else feats
 

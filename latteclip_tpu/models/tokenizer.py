@@ -216,3 +216,82 @@ class ClipTokenizer:
 @lru_cache()
 def get_tokenizer(context_length: int = DEFAULT_CONTEXT_LENGTH) -> ClipTokenizer:
     return ClipTokenizer(context_length=context_length)
+
+
+# ---------------------------------------------------------------------------
+# Reduction (token-dropping) strategies for over-long texts
+# (behavioral parity with reference src/open_clip/tokenizer.py:274-394;
+# 'syntax' requires nltk and is intentionally unsupported here)
+# ---------------------------------------------------------------------------
+
+def random_mask_tokenize(
+    tokenizer: ClipTokenizer,
+    texts: Union[str, Sequence[str]],
+    context_length: Optional[int] = None,
+    shuffle: bool = False,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Randomly drop tokens to fit (keep order unless ``shuffle``)."""
+    if isinstance(texts, str):
+        texts = [texts]
+    rng = rng or np.random.default_rng()
+    ctx = context_length or tokenizer.context_length
+    out = np.zeros((len(texts), ctx), dtype=np.int32)
+    for row, text in enumerate(texts):
+        ids = np.asarray(tokenizer.encode(text), dtype=np.int32)
+        if len(ids) > ctx - 2:
+            keep = rng.permutation(len(ids))[: ctx - 2]
+            if not shuffle:
+                keep = np.sort(keep)
+            ids = ids[keep]
+        out[row, 0] = tokenizer.sot_token_id
+        out[row, 1 : len(ids) + 1] = ids
+        out[row, len(ids) + 1] = tokenizer.eot_token_id
+    return out
+
+
+def simple_mask_tokenize(
+    tokenizer: ClipTokenizer,
+    texts: Union[str, Sequence[str]],
+    context_length: Optional[int] = None,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Keep a random contiguous block of tokens that fits."""
+    if isinstance(texts, str):
+        texts = [texts]
+    rng = rng or np.random.default_rng()
+    ctx = context_length or tokenizer.context_length
+    out = np.zeros((len(texts), ctx), dtype=np.int32)
+    for row, text in enumerate(texts):
+        ids = tokenizer.encode(text)
+        if len(ids) > ctx - 2:
+            start = int(rng.integers(0, len(ids) - (ctx - 2) + 1))
+            ids = ids[start : start + ctx - 2]
+        full = [tokenizer.sot_token_id] + list(ids) + [tokenizer.eot_token_id]
+        out[row, : len(full)] = full
+    return out
+
+
+class HFTokenizerWrapper:
+    """Adapter exposing a HuggingFace tokenizer with the ClipTokenizer
+    calling convention (reference HFTokenizer, tokenizer.py:397-453)."""
+
+    def __init__(self, name: str, context_length: int = DEFAULT_CONTEXT_LENGTH, clean: str = "whitespace"):
+        from transformers import AutoTokenizer
+
+        self.tokenizer = AutoTokenizer.from_pretrained(name)
+        self.context_length = context_length
+        self.clean_mode = clean
+
+    def __call__(self, texts: Union[str, Sequence[str]], context_length: Optional[int] = None) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        texts = [clean_text(t, self.clean_mode) for t in texts]
+        enc = self.tokenizer(
+            list(texts),
+            return_tensors="np",
+            max_length=context_length or self.context_length,
+            padding="max_length",
+            truncation=True,
+        )
+        return enc["input_ids"].astype(np.int32)

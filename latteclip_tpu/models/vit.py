@@ -51,10 +51,16 @@ def init_vit_params(rng: jax.Array, cfg: VisionConfig, embed_dim: int) -> Params
         "c_proj_w": jax.random.normal(next(k), (L, mlp_width, D)) * proj_std,
         "c_proj_b": jnp.zeros((L, D)),
     }
+    if cfg.pos_embed_type == "sin_cos_2d":
+        from latteclip_tpu.models.pos_embed import sincos_2d
+
+        pos_embed = jnp.asarray(sincos_2d(D, cfg.grid, cls_token=True))
+    else:
+        pos_embed = jax.random.normal(next(k), (cfg.seq_len, D)) * scale
     return {
         "patch_kernel": jax.random.normal(next(k), (cfg.patch_size * cfg.patch_size * 3, D)) * scale,
         "class_embedding": jax.random.normal(next(k), (D,)) * scale,
-        "pos_embed": jax.random.normal(next(k), (cfg.seq_len, D)) * scale,
+        "pos_embed": pos_embed,
         "ln_pre_scale": jnp.ones((D,)),
         "ln_pre_bias": jnp.zeros((D,)),
         "blocks": blocks,
@@ -73,6 +79,19 @@ def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
     return x.reshape(B, gh * gw, patch * patch * C)
 
 
+def patch_dropout(x: jnp.ndarray, prob: float, rng: jax.Array) -> jnp.ndarray:
+    """Randomly keep a fraction of patch tokens, always keeping the class
+    token (reference PatchDropout, transformer.py:49-86). Static output
+    shape: num_keep is computed from the static token count."""
+    cls_tok, patches = x[:, :1], x[:, 1:]
+    B, N, D = patches.shape
+    num_keep = max(1, int(N * (1.0 - prob)))
+    scores = jax.random.normal(rng, (B, N))
+    keep = jax.lax.top_k(scores, num_keep)[1]                     # [B, num_keep]
+    kept = jnp.take_along_axis(patches, keep[..., None], axis=1)
+    return jnp.concatenate([cls_tok, kept], axis=1)
+
+
 def vit_forward(
     params: Params,
     cfg: VisionConfig,
@@ -81,6 +100,8 @@ def vit_forward(
     dtype: jnp.dtype = jnp.bfloat16,
     quick_gelu: bool = False,
     remat: bool = False,
+    train: bool = False,
+    rng: jax.Array = None,
 ) -> jnp.ndarray:
     """Images [B, H, W, 3] -> pooled features [B, embed_dim] (f32)."""
     B = images.shape[0]
@@ -91,7 +112,14 @@ def vit_forward(
 
     cls = jnp.broadcast_to(params["class_embedding"].astype(dtype), (B, 1, cfg.width))
     x = jnp.concatenate([cls, x], axis=1)                          # [B, N+1, D]
-    x = x + params["pos_embed"].astype(dtype)
+    pos = params["pos_embed"]
+    if cfg.pos_embed_type == "sin_cos_2d":  # fixed embedding (requires_grad=False)
+        pos = jax.lax.stop_gradient(pos)
+    x = x + pos.astype(dtype)
+
+    if train and cfg.patch_dropout > 0.0:
+        assert rng is not None, "patch dropout needs an rng"
+        x = patch_dropout(x, cfg.patch_dropout, rng)
 
     if not cfg.no_ln_pre:
         x = layers.layer_norm(x, params["ln_pre_scale"], params["ln_pre_bias"])

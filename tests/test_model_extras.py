@@ -1,0 +1,78 @@
+"""Vision/tokenizer extras: patch dropout, sin-cos pos embed, reductions."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from latteclip_tpu.core.config import config_from_dict
+from latteclip_tpu.models.clip import encode_image, init_clip_params
+from latteclip_tpu.models.pos_embed import sincos_2d
+from latteclip_tpu.models.tokenizer import (
+    get_tokenizer,
+    random_mask_tokenize,
+    simple_mask_tokenize,
+)
+from latteclip_tpu.models.vit import patch_dropout
+
+TINY = config_from_dict(
+    "tiny",
+    {
+        "embed_dim": 32,
+        "vision_cfg": {"image_size": 32, "layers": 2, "width": 64, "patch_size": 8},
+        "text_cfg": {"context_length": 16, "vocab_size": 128, "width": 32, "heads": 4, "layers": 2},
+    },
+)
+
+
+def test_patch_dropout_keeps_cls_and_count():
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 17, 8).astype(np.float32))
+    out = patch_dropout(x, prob=0.5, rng=jax.random.PRNGKey(0))
+    assert out.shape == (4, 1 + 8, 8)  # 16 patches * 0.5 = 8 kept + cls
+    np.testing.assert_array_equal(np.asarray(out[:, 0]), np.asarray(x[:, 0]))
+
+
+def test_patch_dropout_in_forward():
+    params = init_clip_params(jax.random.PRNGKey(0), TINY)
+    cfg = dataclasses.replace(
+        TINY, vision=dataclasses.replace(TINY.vision, patch_dropout=0.5)
+    )
+    imgs = np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32)
+    out_train = encode_image(params, cfg, imgs, normalize=True, train=True, rng=jax.random.PRNGKey(1))
+    out_eval = encode_image(params, cfg, imgs, normalize=True)
+    assert out_train.shape == out_eval.shape == (2, 32)
+    assert not np.allclose(np.asarray(out_train), np.asarray(out_eval))
+
+
+def test_sincos_pos_embed_properties():
+    pos = sincos_2d(64, 4, cls_token=True)
+    assert pos.shape == (17, 64)
+    np.testing.assert_array_equal(pos[0], 0.0)  # cls slot zeroed
+    assert np.abs(pos[1:]).max() <= 1.0
+
+    cfg = dataclasses.replace(
+        TINY, vision=dataclasses.replace(TINY.vision, pos_embed_type="sin_cos_2d")
+    )
+    from latteclip_tpu.models.vit import init_vit_params
+
+    p = init_vit_params(jax.random.PRNGKey(0), cfg.vision, 32)
+    np.testing.assert_allclose(np.asarray(p["pos_embed"]), sincos_2d(64, 4), atol=1e-6)
+
+
+def test_reduction_strategies():
+    tok = get_tokenizer()
+    long_text = "word " * 200
+    rng = np.random.default_rng(0)
+
+    out = random_mask_tokenize(tok, long_text, context_length=32, rng=rng)
+    assert out.shape == (1, 32)
+    assert out[0, 0] == tok.sot_token_id and out[0, 31] == tok.eot_token_id
+
+    out2 = simple_mask_tokenize(tok, long_text, context_length=32, rng=rng)
+    assert out2[0, 0] == tok.sot_token_id and out2[0, 31] == tok.eot_token_id
+
+    # short texts are unchanged by reductions
+    short = random_mask_tokenize(tok, "hello world", context_length=32, rng=rng)
+    np.testing.assert_array_equal(short[0][:5], tok("hello world", 32)[0][:5])
