@@ -47,7 +47,9 @@ _BLOCK_KEYS = {
 
 
 def _normalize_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    """Strip DDP / CustomCLIP wrapper prefixes (reference factory.py:139-141)."""
+    """Strip DDP / CustomCLIP wrapper prefixes (reference factory.py:139-141)
+    and fold the CustomTextCLIP separate-tower layout (``text.*`` keys) back
+    into the fused layout (inverse of reference model.py:685-700)."""
     if any(k.startswith("module.") for k in sd):
         sd = {k[len("module."):]: v for k, v in sd.items() if k.startswith("module.")}
     if any(k.startswith("clip_model.") for k in sd):
@@ -61,6 +63,8 @@ def _normalize_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
             ):
                 out.setdefault(k, v)
         sd = {k: v for k, v in out.items() if not k.startswith("image_adapter.")}
+    if any(k.startswith("text.") for k in sd) and "text_projection" not in sd:
+        sd = {(k[len("text."):] if k.startswith("text.") else k): v for k, v in sd.items()}
     return sd
 
 
@@ -100,16 +104,128 @@ def resize_vision_pos_embed(pos: np.ndarray, target_seq: int) -> np.ndarray:
     return np.concatenate([tok, np.asarray(resized).reshape(new_g * new_g, -1)], axis=0)
 
 
+def _bn_from_sd(sd, torch_prefix: str, ours_prefix: str) -> Dict[str, np.ndarray]:
+    return {
+        f"{ours_prefix}_scale": np.asarray(sd[f"{torch_prefix}.weight"], np.float32),
+        f"{ours_prefix}_bias": np.asarray(sd[f"{torch_prefix}.bias"], np.float32),
+        f"{ours_prefix}_mean": np.asarray(sd[f"{torch_prefix}.running_mean"], np.float32),
+        f"{ours_prefix}_var": np.asarray(sd[f"{torch_prefix}.running_var"], np.float32),
+    }
+
+
+def _bn_to_sd(p, ours_prefix: str, torch_prefix: str) -> Dict[str, np.ndarray]:
+    return {
+        f"{torch_prefix}.weight": p[f"{ours_prefix}_scale"],
+        f"{torch_prefix}.bias": p[f"{ours_prefix}_bias"],
+        f"{torch_prefix}.running_mean": p[f"{ours_prefix}_mean"],
+        f"{torch_prefix}.running_var": p[f"{ours_prefix}_var"],
+    }
+
+
+def _conv_hwio(sd, key) -> np.ndarray:
+    return np.asarray(sd[key], np.float32).transpose(2, 3, 1, 0)
+
+
+def _resnet_visual_from_sd(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """visual.* ResNet keys -> resnet param pytree (modified_resnet.py)."""
+    stem = {
+        "conv1_w": _conv_hwio(sd, "visual.conv1.weight"), **_bn_from_sd(sd, "visual.bn1", "bn1"),
+        "conv2_w": _conv_hwio(sd, "visual.conv2.weight"), **_bn_from_sd(sd, "visual.bn2", "bn2"),
+        "conv3_w": _conv_hwio(sd, "visual.conv3.weight"), **_bn_from_sd(sd, "visual.bn3", "bn3"),
+    }
+    stages = []
+    for stage_idx, blocks in enumerate(cfg.layers):
+        stage = []
+        for i in range(blocks):
+            prefix = f"visual.layer{stage_idx + 1}.{i}"
+            p = {
+                "conv1_w": _conv_hwio(sd, f"{prefix}.conv1.weight"),
+                **_bn_from_sd(sd, f"{prefix}.bn1", "bn1"),
+                "conv2_w": _conv_hwio(sd, f"{prefix}.conv2.weight"),
+                **_bn_from_sd(sd, f"{prefix}.bn2", "bn2"),
+                "conv3_w": _conv_hwio(sd, f"{prefix}.conv3.weight"),
+                **_bn_from_sd(sd, f"{prefix}.bn3", "bn3"),
+            }
+            if f"{prefix}.downsample.0.weight" in sd:
+                p["down_conv_w"] = _conv_hwio(sd, f"{prefix}.downsample.0.weight")
+                p.update(_bn_from_sd(sd, f"{prefix}.downsample.1", "down_bn"))
+            stage.append(p)
+        stages.append(stage)
+    attnpool = {
+        "pos_embed": np.asarray(sd["visual.attnpool.positional_embedding"], np.float32),
+        "q_w": np.asarray(sd["visual.attnpool.q_proj.weight"], np.float32),
+        "q_b": np.asarray(sd["visual.attnpool.q_proj.bias"], np.float32),
+        "k_w": np.asarray(sd["visual.attnpool.k_proj.weight"], np.float32),
+        "k_b": np.asarray(sd["visual.attnpool.k_proj.bias"], np.float32),
+        "v_w": np.asarray(sd["visual.attnpool.v_proj.weight"], np.float32),
+        "v_b": np.asarray(sd["visual.attnpool.v_proj.bias"], np.float32),
+        "c_w": np.asarray(sd["visual.attnpool.c_proj.weight"], np.float32),
+        "c_b": np.asarray(sd["visual.attnpool.c_proj.bias"], np.float32),
+    }
+    return {"stem": stem, "stages": stages, "attnpool": attnpool}
+
+
+def _resnet_visual_to_sd(v: Dict[str, Any], cfg) -> Dict[str, np.ndarray]:
+    def hwio_to_oihw(w):
+        return np.ascontiguousarray(np.asarray(w, np.float32).transpose(3, 2, 0, 1))
+
+    sd: Dict[str, np.ndarray] = {
+        "visual.conv1.weight": hwio_to_oihw(v["stem"]["conv1_w"]),
+        "visual.conv2.weight": hwio_to_oihw(v["stem"]["conv2_w"]),
+        "visual.conv3.weight": hwio_to_oihw(v["stem"]["conv3_w"]),
+        **_bn_to_sd(v["stem"], "bn1", "visual.bn1"),
+        **_bn_to_sd(v["stem"], "bn2", "visual.bn2"),
+        **_bn_to_sd(v["stem"], "bn3", "visual.bn3"),
+    }
+    for stage_idx, stage in enumerate(v["stages"]):
+        for i, p in enumerate(stage):
+            prefix = f"visual.layer{stage_idx + 1}.{i}"
+            sd[f"{prefix}.conv1.weight"] = hwio_to_oihw(p["conv1_w"])
+            sd[f"{prefix}.conv2.weight"] = hwio_to_oihw(p["conv2_w"])
+            sd[f"{prefix}.conv3.weight"] = hwio_to_oihw(p["conv3_w"])
+            sd.update(_bn_to_sd(p, "bn1", f"{prefix}.bn1"))
+            sd.update(_bn_to_sd(p, "bn2", f"{prefix}.bn2"))
+            sd.update(_bn_to_sd(p, "bn3", f"{prefix}.bn3"))
+            if "down_conv_w" in p:
+                sd[f"{prefix}.downsample.0.weight"] = hwio_to_oihw(p["down_conv_w"])
+                sd.update(_bn_to_sd(p, "down_bn", f"{prefix}.downsample.1"))
+    ap = v["attnpool"]
+    sd["visual.attnpool.positional_embedding"] = np.asarray(ap["pos_embed"], np.float32)
+    for ours, theirs in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"), ("c", "c_proj")):
+        sd[f"visual.attnpool.{theirs}.weight"] = np.asarray(ap[f"{ours}_w"], np.float32)
+        sd[f"visual.attnpool.{theirs}.bias"] = np.asarray(ap[f"{ours}_b"], np.float32)
+    return sd
+
+
 def pt_state_dict_to_params(
     sd: Dict[str, np.ndarray], cfg: CLIPConfig
 ) -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:
     """Map an OpenCLIP state dict to (params pytree, memory_bank dict)."""
+    from latteclip_tpu.core.config import ResNetVisionConfig
+
     sd = _normalize_state_dict(dict(sd))
     memory_bank = {
         k[len("memory_bank."):]: np.asarray(v, dtype=np.float32)
         for k, v in sd.items()
         if k.startswith("memory_bank.")
     }
+
+    if isinstance(cfg.vision, ResNetVisionConfig):
+        visual = _resnet_visual_from_sd(sd, cfg.vision)
+        text = {
+            "token_embedding": np.asarray(sd["token_embedding.weight"], np.float32),
+            "pos_embed": np.asarray(sd["positional_embedding"], np.float32),
+            "blocks": _stack_blocks(sd, "transformer.", cfg.text.layers),
+            "ln_final_scale": np.asarray(sd["ln_final.weight"], np.float32),
+            "ln_final_bias": np.asarray(sd["ln_final.bias"], np.float32),
+            "text_projection": np.asarray(sd["text_projection"], np.float32),
+        }
+        params = {
+            "visual": visual,
+            "text": text,
+            "logit_scale": np.asarray(sd["logit_scale"], np.float32).reshape(()),
+        }
+        return jax.tree.map(jnp.asarray, params), memory_bank
 
     P = cfg.vision.patch_size
     conv = np.asarray(sd["visual.conv1.weight"], dtype=np.float32)  # [D, 3, P, P]
@@ -157,8 +273,28 @@ def params_to_pt_state_dict(
     classnames: Optional[List[str]] = None,
 ) -> Dict[str, np.ndarray]:
     """Invert :func:`pt_state_dict_to_params` (incl. memory_bank.<name> keys)."""
+    from latteclip_tpu.core.config import ResNetVisionConfig
+
     params = jax.tree.map(lambda x: np.asarray(x, dtype=np.float32), params)
     v, t = params["visual"], params["text"]
+
+    if isinstance(cfg.vision, ResNetVisionConfig):
+        sd = _resnet_visual_to_sd(v, cfg.vision)
+        sd.update({
+            "logit_scale": params["logit_scale"].reshape(()),
+            "token_embedding.weight": t["token_embedding"],
+            "positional_embedding": t["pos_embed"],
+            "ln_final.weight": t["ln_final_scale"],
+            "ln_final.bias": t["ln_final_bias"],
+            "text_projection": t["text_projection"],
+        })
+        sd.update(_unstack_blocks(t["blocks"], "transformer."))
+        if memory_bank is not None:
+            assert classnames is not None and len(classnames) == len(memory_bank)
+            for name, vec in zip(classnames, np.asarray(memory_bank, dtype=np.float32)):
+                sd[f"memory_bank.{name}"] = vec
+        return {k: np.ascontiguousarray(w) for k, w in sd.items()}
+
     P = cfg.vision.patch_size
     D = cfg.vision.width
     conv = v["patch_kernel"].reshape(P, P, 3, D).transpose(3, 2, 0, 1)
@@ -189,9 +325,15 @@ def params_to_pt_state_dict(
 
 
 def load_clip_pt(path: str, cfg: CLIPConfig):
-    """Load a ``.pt`` file that is either a bare state dict or a training
-    checkpoint ``{"epoch", "state_dict", ...}`` (reference main.py:367-385)."""
-    obj = load_pt(path)
+    """Load a checkpoint: torch ``.pt`` zip-pickle (bare state dict or
+    ``{"epoch", "state_dict", ...}`` training checkpoint, reference
+    main.py:367-385) or a HF-hub ``.safetensors`` file."""
+    if path.endswith(".safetensors"):
+        from latteclip_tpu.core.pt_io import load_safetensors
+
+        obj = load_safetensors(path)
+    else:
+        obj = load_pt(path)
     meta: Dict[str, Any] = {}
     if isinstance(obj, dict) and "state_dict" in obj:
         meta = {k: v for k, v in obj.items() if k != "state_dict"}

@@ -47,6 +47,26 @@ class VisionConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class ResNetVisionConfig:
+    """ModifiedResNet tower (reference model.py:251-259): ``layers`` is the
+    per-stage block count tuple; feature dim is ``width * 32``."""
+
+    layers: Tuple[int, ...] = (3, 4, 6, 3)
+    width: int = 64
+    image_size: int = 224
+    head_width: int = 64
+
+    @property
+    def embed_width(self) -> int:
+        return self.width * 32
+
+    @property
+    def heads(self) -> int:
+        # reference: vision_heads = width * 32 // head_width (model.py:252)
+        return self.embed_width // self.head_width
+
+
+@dataclasses.dataclass(frozen=True)
 class TextConfig:
     context_length: int = 77
     vocab_size: int = 49408
@@ -80,10 +100,19 @@ def _filter_fields(cls, d: Dict[str, Any]) -> Dict[str, Any]:
 
 def config_from_dict(name: str, raw: Dict[str, Any]) -> CLIPConfig:
     quick_gelu = bool(raw.get("quick_gelu", False)) or name.endswith("-quickgelu")
+    vision_raw = raw.get("vision_cfg", {})
+    if isinstance(vision_raw.get("layers"), (list, tuple)):
+        # a per-stage layer list selects the ModifiedResNet tower
+        # (reference model.py:251-259)
+        fields = _filter_fields(ResNetVisionConfig, vision_raw)
+        fields["layers"] = tuple(fields["layers"])
+        vision = ResNetVisionConfig(**fields)
+    else:
+        vision = VisionConfig(**_filter_fields(VisionConfig, vision_raw))
     return CLIPConfig(
         name=name,
         embed_dim=int(raw["embed_dim"]),
-        vision=VisionConfig(**_filter_fields(VisionConfig, raw.get("vision_cfg", {}))),
+        vision=vision,
         text=TextConfig(**_filter_fields(TextConfig, raw.get("text_cfg", {}))),
         quick_gelu=quick_gelu,
     )

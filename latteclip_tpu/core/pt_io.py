@@ -164,6 +164,38 @@ def load_pt(path: str) -> Any:
 # Writing
 # ---------------------------------------------------------------------------
 
+def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    """Minimal safetensors reader (HF hub checkpoints ship this format).
+
+    Format: u64-LE header length, JSON header mapping tensor name ->
+    {dtype, shape, data_offsets}, then raw little-endian buffers.
+    """
+    _ST_DTYPES = {
+        "F64": np.float64, "F32": np.float32, "F16": np.float16,
+        "I64": np.int64, "I32": np.int32, "I16": np.int16, "I8": np.int8,
+        "U8": np.uint8, "BOOL": np.bool_,
+    }
+    import json as _json
+    import struct
+
+    with open(path, "rb") as f:
+        (header_len,) = struct.unpack("<Q", f.read(8))
+        header = _json.loads(f.read(header_len))
+        data = f.read()
+    out: Dict[str, np.ndarray] = {}
+    for name, meta in header.items():
+        if name == "__metadata__":
+            continue
+        lo, hi = meta["data_offsets"]
+        buf = data[lo:hi]
+        if meta["dtype"] == "BF16":
+            arr = _bf16_buffer_to_f32(buf)
+        else:
+            arr = np.frombuffer(buf, dtype=_ST_DTYPES[meta["dtype"]])
+        out[name] = arr.reshape(meta["shape"]).copy()
+    return out
+
+
 def _find_global(module: str, name: str):  # executed by torch.load
     import importlib
 

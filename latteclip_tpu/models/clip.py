@@ -16,7 +16,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from latteclip_tpu.core.config import CLIPConfig, get_model_config
+from latteclip_tpu.core.config import CLIPConfig, ResNetVisionConfig, get_model_config
 from latteclip_tpu.models import text as text_mod
 from latteclip_tpu.models import vit as vit_mod
 from latteclip_tpu.models.layers import Params, l2_normalize
@@ -24,8 +24,14 @@ from latteclip_tpu.models.layers import Params, l2_normalize
 
 def init_clip_params(rng: jax.Array, cfg: CLIPConfig) -> Params:
     kv, kt = jax.random.split(rng)
+    if isinstance(cfg.vision, ResNetVisionConfig):
+        from latteclip_tpu.models import resnet as resnet_mod
+
+        visual = resnet_mod.init_resnet_params(kv, cfg.vision, cfg.embed_dim)
+    else:
+        visual = vit_mod.init_vit_params(kv, cfg.vision, cfg.embed_dim)
     return {
-        "visual": vit_mod.init_vit_params(kv, cfg.vision, cfg.embed_dim),
+        "visual": visual,
         "text": text_mod.init_text_params(kt, cfg.text, cfg.embed_dim),
         "logit_scale": jnp.asarray(cfg.init_logit_scale, dtype=jnp.float32),
     }
@@ -45,11 +51,18 @@ def encode_image(
     train: bool = False,
     rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
-    feats = vit_mod.vit_forward(
-        params["visual"], cfg.vision, images,
-        dtype=_dtype(cfg), quick_gelu=cfg.quick_gelu, remat=remat,
-        train=train, rng=rng,
-    )
+    if isinstance(cfg.vision, ResNetVisionConfig):
+        from latteclip_tpu.models import resnet as resnet_mod
+
+        feats = resnet_mod.resnet_forward(
+            params["visual"], cfg.vision, images, dtype=_dtype(cfg)
+        )
+    else:
+        feats = vit_mod.vit_forward(
+            params["visual"], cfg.vision, images,
+            dtype=_dtype(cfg), quick_gelu=cfg.quick_gelu, remat=remat,
+            train=train, rng=rng,
+        )
     return l2_normalize(feats) if normalize else feats
 
 

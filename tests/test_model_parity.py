@@ -110,3 +110,52 @@ def test_bf16_close_to_f32():
     # cosine similarity of features must remain ~1
     cos = (f32 * bf16).sum(-1)
     assert cos.min() > 0.995
+
+
+RN_SMALL = {
+    "embed_dim": 64,
+    "vision_cfg": {"image_size": 64, "layers": [1, 1, 1, 1], "width": 8},
+    "text_cfg": {"context_length": 24, "vocab_size": 128, "width": 32, "heads": 4, "layers": 2},
+}
+
+
+def test_resnet_feature_parity():
+    """ModifiedResNet tower vs the reference torch implementation."""
+    import torch
+
+    from latteclip_tpu.models.clip import encode_image
+
+    oc = load_reference_open_clip()
+    torch.manual_seed(0)
+    ref = oc.model.CLIP(
+        embed_dim=RN_SMALL["embed_dim"],
+        vision_cfg=RN_SMALL["vision_cfg"],
+        text_cfg=RN_SMALL["text_cfg"],
+    ).eval()
+    gen = torch.Generator().manual_seed(2)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.copy_(torch.randn(p.shape, generator=gen) * 0.05)
+        # give BN non-trivial running stats
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=gen) * 0.1)
+                m.running_var.copy_(1.0 + 0.2 * torch.rand(m.running_var.shape, generator=gen))
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    cfg = dataclasses.replace(config_from_dict("rn_small", RN_SMALL), compute_dtype="float32")
+    params, _bank = pt_state_dict_to_params(sd, cfg)
+
+    rng = np.random.RandomState(7)
+    images = rng.rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref_feats = ref.encode_image(torch.from_numpy(images.transpose(0, 3, 1, 2)), normalize=True).numpy()
+    ours = np.asarray(encode_image(params, cfg, images, normalize=True))
+    np.testing.assert_allclose(ours, ref_feats, atol=5e-5, rtol=1e-4)
+
+    # round-trip of the resnet state dict
+    back = params_to_pt_state_dict(params, cfg)
+    for k in back:
+        if "num_batches_tracked" in k:
+            continue
+        np.testing.assert_allclose(back[k], sd[k], atol=1e-6, err_msg=k)
