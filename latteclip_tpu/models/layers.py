@@ -48,10 +48,14 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def dense(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray], dtype: jnp.dtype) -> jnp.ndarray:
-    y = jnp.dot(x.astype(dtype), w.astype(dtype), preferred_element_type=jnp.float32)
+    # emit the compute dtype directly: the MXU accumulates in f32 internally
+    # regardless, and a f32 intermediate would be kept live for backward
+    # (it dominated HBM in no-remat configs) — bias add in dtype matches
+    # torch-AMP semantics
+    y = jnp.dot(x.astype(dtype), w.astype(dtype), preferred_element_type=dtype)
     if b is not None:
-        y = y + b.astype(jnp.float32)
-    return y.astype(dtype)
+        y = y + b.astype(dtype)
+    return y
 
 
 def mha(

@@ -59,6 +59,34 @@ def causal_mask(ctx: int) -> jnp.ndarray:
     return jnp.where(j > i, NEG_INF, 0.0).astype(jnp.float32)
 
 
+def text_forward_embeds(
+    params: Params,
+    cfg: TextConfig,
+    embeds: jnp.ndarray,
+    eot_pos: jnp.ndarray,
+    *,
+    dtype: jnp.dtype = jnp.bfloat16,
+    quick_gelu: bool = False,
+) -> jnp.ndarray:
+    """Token *embeddings* [B, ctx, D] + EOT positions [B] -> features [B, E].
+
+    The prompt-tuning entry point (reference ``TextEncoder``,
+    model.py:971-991): identical to :func:`text_forward` but the embedding
+    lookup is replaced by caller-assembled embeddings (learnable context
+    vectors spliced between SOT and the class tokens).
+    """
+    act = layers.quick_gelu if quick_gelu else layers.gelu
+    ctx = embeds.shape[1]
+    x = embeds.astype(dtype) + params["pos_embed"][:ctx].astype(dtype)
+    x = layers.transformer_stack(
+        x, params["blocks"], cfg.heads, not cfg.no_causal_mask, act, dtype
+    )
+    x = layers.layer_norm(x, params["ln_final_scale"], params["ln_final_bias"])
+    pooled = jnp.take_along_axis(x, eot_pos[:, None, None], axis=1)[:, 0]
+    out = layers.dense(pooled, params["text_projection"], None, dtype)
+    return out.astype(jnp.float32)
+
+
 def text_forward(
     params: Params,
     cfg: TextConfig,

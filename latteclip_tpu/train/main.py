@@ -151,6 +151,30 @@ def main(argv=None) -> int:
         image_size=cfg.vision.image_size, dataset_name=dataset_name,
     )
 
+    # ---- TTA evaluation mode (reference evaluate_tta, train.py:1216-1305) ----
+    if args.tta or args.method in ("tpt", "rlcf"):
+        from latteclip_tpu.eval.tta import TTAConfig, evaluate_tta
+
+        tta_cfg = TTAConfig(
+            n_views=args.tta_n_views, selection_p=args.selection_p,
+            tta_steps=args.tta_step, lr=args.lr,
+        )
+        reward_params = reward_cfg = None
+        if args.method == "rlcf":
+            reward_cfg = get_model_config(args.reward_model or args.model)
+            if args.reward_pretrained:
+                reward_params, _, _ = ckpt.load_clip_pt(args.reward_pretrained, reward_cfg)
+            else:
+                reward_params = clip_mod.init_clip_params(jax.random.PRNGKey(1), reward_cfg)
+        metrics = evaluate_tta(
+            params, cfg, tokenizer, val_dataset, tta_cfg,
+            method="rlcf" if args.method == "rlcf" else "tpt",
+            reward_params=reward_params, reward_cfg=reward_cfg,
+            max_samples=args.tta_max_samples, seed=args.seed,
+        )
+        logger.info("TTA eval: %s", {k: round(float(v), 4) for k, v in metrics.items()})
+        return 0
+
     # ---- memory bank (reference main.py:262 -> model.py:489-499) ------------
     if bank_dict and all(c in bank_dict for c in classnames):
         bank = np.stack([bank_dict[c] for c in classnames])
@@ -201,6 +225,7 @@ def main(argv=None) -> int:
     optimizer = make_optimizer(
         schedule, beta1=args.beta1, beta2=args.beta2, eps=args.eps,
         weight_decay=args.wd, grad_clip_norm=args.grad_clip_norm,
+        accum_steps=args.accum_freq,
     )
 
     hp = LatteHParams(

@@ -114,7 +114,18 @@ def make_optimizer(
     eps: float = 1e-6,
     weight_decay: float = 0.2,
     grad_clip_norm: Optional[float] = None,
+    accum_steps: int = 1,
 ) -> optax.GradientTransformation:
+    """AdamW with reference decay groups; optional grad clipping and
+    gradient accumulation.
+
+    ``accum_steps > 1`` wraps the optimizer in ``optax.MultiSteps``: the
+    parameter update applies every k train-step calls with averaged grads.
+    Note the semantics difference vs a true k×-larger batch: InfoNCE
+    negatives stay within each microbatch (the reference's --accum-freq
+    feature-caching scheme is unimplemented in its LatteCLIP path too —
+    reference train.py:397,531-532 raises NotImplemented).
+    """
     adamw = optax.adamw(
         learning_rate=schedule,
         b1=beta1,
@@ -123,6 +134,9 @@ def make_optimizer(
         weight_decay=weight_decay,
         mask=decay_mask,
     )
+    tx = adamw
     if grad_clip_norm is not None:
-        return optax.chain(optax.clip_by_global_norm(grad_clip_norm), adamw)
-    return adamw
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx

@@ -61,9 +61,20 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--lr-cooldown-end", type=float, default=0.0)
     p.add_argument("--lr-cooldown-power", type=float, default=1.0)
     p.add_argument("--grad-clip-norm", type=float, default=None)
+    p.add_argument("--accum-freq", type=int, default=1,
+                   help="gradient accumulation steps (optax.MultiSteps)")
 
-    # LatteCLIP objective
-    p.add_argument("--method", type=str, default="ours", choices=["ours", "flyp", "flyp_gt"])
+    # LatteCLIP objective / eval method
+    p.add_argument("--method", type=str, default="ours",
+                   choices=["ours", "flyp", "flyp_gt", "tpt", "rlcf"])
+    # test-time adaptation (reference params.py:31-35,454-459,78-83)
+    p.add_argument("--tta", action="store_true", help="run TTA evaluation and exit")
+    p.add_argument("--tta-step", type=int, default=1)
+    p.add_argument("--selection-p", "--selection_p", dest="selection_p", type=float, default=0.1)
+    p.add_argument("--tta-n-views", type=int, default=63)
+    p.add_argument("--tta-max-samples", type=int, default=None)
+    p.add_argument("--reward-model", type=str, default=None, help="RLCF reward model config name")
+    p.add_argument("--reward-pretrained", type=str, default=None)
     p.add_argument("--alpha", type=float, default=0.01)
     p.add_argument("--beta", type=float, default=0.01)   # accepted for parity
     p.add_argument("--gamma", type=float, default=0.0)   # accepted for parity
