@@ -57,6 +57,14 @@ def setup_logging(log_path: Optional[str] = None):
 
 
 def resolve_preprocess_path(args) -> str:
+    if args.eval_config_path and args.zeroshot_eval_data:
+        # reference-style YAML task registry (abo.py:602-638)
+        from latteclip_tpu.data.eval_config import expand_env, load_eval_config
+
+        tasks = load_eval_config(args.eval_config_path)
+        key = f"{args.zeroshot_eval_data}_val_zeroshot_classification"
+        if key in tasks:
+            return expand_env(str(tasks[key]["dataset_specific_kwargs"]["preprocess_path"]))
     if args.eval_preprocess_path:
         return args.eval_preprocess_path
     data_dir = args.data_dir or os.environ.get("LATTECLIP_DATA_DIR")

@@ -31,6 +31,8 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="root holding <ds>_preprocess dirs (defaults to $LATTECLIP_DATA_DIR)")
     p.add_argument("--eval-preprocess-path", type=str, default=None,
                    help="explicit preprocess dir (overrides --data-dir/<ds>_preprocess)")
+    p.add_argument("--eval-config-path", type=str, default=None,
+                   help="YAML task registry (reference eval.yaml format)")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--class-per-image", type=int, default=5)  # accepted for parity
     p.add_argument("--extract-features-path", type=str, default=None,
