@@ -17,9 +17,7 @@ patch conv ``[D, 3, P, P]`` becomes a ``[P*P*3, D]`` matmul kernel matching
 """
 from __future__ import annotations
 
-import json
 import os
-import re
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax

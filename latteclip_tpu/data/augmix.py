@@ -8,10 +8,10 @@ Dirichlet/Beta mixing per the AugMix algorithm.
 """
 from __future__ import annotations
 
-from typing import Callable, List, Sequence
+from typing import Callable, List
 
 import numpy as np
-from PIL import Image, ImageEnhance, ImageOps
+from PIL import Image, ImageOps
 
 from latteclip_tpu.data.transforms import eval_resize_crop, random_resized_crop
 

@@ -40,7 +40,6 @@ from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
-from PIL import Image
 
 from latteclip_tpu.data import transforms as T
 from latteclip_tpu.data.tar_reader import (

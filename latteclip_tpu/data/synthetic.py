@@ -9,12 +9,11 @@ join, train loop) can run hermetically in tests and smoke runs.
 """
 from __future__ import annotations
 
-import io
 import json
 import os
 import pickle
 import tarfile
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 from PIL import Image

@@ -15,7 +15,6 @@ Also provides the deterministic epoch-seeded shard shuffle (semantics of
 """
 from __future__ import annotations
 
-import io
 import logging
 import os
 import random

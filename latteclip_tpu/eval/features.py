@@ -14,7 +14,7 @@ from __future__ import annotations
 import logging
 import os
 import pickle
-from typing import Dict, Sequence
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

@@ -9,7 +9,7 @@ accumulated features.
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Iterable, Tuple
+from typing import Dict, Iterable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -26,8 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-import math
-from typing import Callable, Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ jit; the eval loop consumes uint8 host batches and fuses normalize + encode
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -123,7 +123,11 @@ def transformer_stack(
         return out, None
 
     if remat:
-        body = jax.checkpoint(body, prevent_cse=False)
+        # store the (small) attention outputs + logsumexps across the
+        # checkpoint boundary; everything else is recomputed. The backward
+        # pass then never re-runs the flash-attention forward kernel.
+        policy = jax.checkpoint_policies.save_only_these_names("flash_out", "flash_lse")
+        body = jax.checkpoint(body, prevent_cse=False, policy=policy)
 
     x, _ = jax.lax.scan(body, x, stacked)
     return x

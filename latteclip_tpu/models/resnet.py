@@ -14,12 +14,12 @@ at 1/(HW+1) of the attention cost).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp
 
-from latteclip_tpu.models.layers import Params, l2_normalize
+from latteclip_tpu.models.layers import Params
 
 BN_EPS = 1e-5
 

@@ -12,8 +12,6 @@ and a final projection matmul. Differences are deliberate TPU choices:
 """
 from __future__ import annotations
 
-from typing import Any, Dict
-
 import jax
 import jax.numpy as jnp
 

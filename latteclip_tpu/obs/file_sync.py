@@ -14,7 +14,6 @@ import os
 import shutil
 import subprocess
 import threading
-import time
 from typing import Optional
 
 logger = logging.getLogger(__name__)

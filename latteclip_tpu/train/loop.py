@@ -14,13 +14,12 @@ import dataclasses
 import logging
 import os
 import re
-import time
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import jax
 import numpy as np
 
-from latteclip_tpu.core.checkpoint import load_clip_pt, save_clip_pt
+from latteclip_tpu.core.checkpoint import save_clip_pt
 from latteclip_tpu.core.config import CLIPConfig
 from latteclip_tpu.core.mesh import (
     global_batch_from_local,

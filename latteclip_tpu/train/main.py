@@ -14,14 +14,14 @@ import dataclasses
 import logging
 import os
 import sys
-from typing import List, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from latteclip_tpu.core import checkpoint as ckpt
-from latteclip_tpu.core.config import CLIPConfig, get_model_config
+from latteclip_tpu.core.config import get_model_config
 from latteclip_tpu.core.mesh import initialize_distributed, make_mesh
 from latteclip_tpu.data.eval_dataset import FlatFileDataset
 from latteclip_tpu.data.pipeline import PipelineConfig, TrainPipeline, build_train_data

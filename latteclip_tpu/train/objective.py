@@ -15,8 +15,6 @@ unused there beyond a dead mask, and is omitted).
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
-
 import jax
 import jax.numpy as jnp
 

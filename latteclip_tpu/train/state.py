@@ -13,7 +13,7 @@ anchors read the live bank — both behaviors are preserved.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Optional, Sequence
+from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +23,6 @@ from flax import struct
 
 from latteclip_tpu.core.config import CLIPConfig
 from latteclip_tpu.models import clip as clip_mod
-from latteclip_tpu.models.layers import l2_normalize
 from latteclip_tpu.models.tokenizer import ClipTokenizer
 
 
