@@ -31,6 +31,9 @@ class VisionConfig:
     no_ln_pre: bool = False
     patch_dropout: float = 0.0      # train-time patch dropout probability
     pos_embed_type: str = "learnable"  # 'learnable' | 'sin_cos_2d'
+    attentional_pool: bool = False  # learned-query pooling head (CoCa-style)
+    attn_pooler_queries: int = 256
+    attn_pooler_heads: int = 8
 
     @property
     def heads(self) -> int:

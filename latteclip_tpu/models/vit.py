@@ -55,17 +55,23 @@ def init_vit_params(rng: jax.Array, cfg: VisionConfig, embed_dim: int) -> Params
         pos_embed = jnp.asarray(sincos_2d(D, cfg.grid, cls_token=True))
     else:
         pos_embed = jax.random.normal(next(k), (cfg.seq_len, D)) * scale
-    return {
+    pool_dim = embed_dim if cfg.attentional_pool else D
+    params = {
         "patch_kernel": jax.random.normal(next(k), (cfg.patch_size * cfg.patch_size * 3, D)) * scale,
         "class_embedding": jax.random.normal(next(k), (D,)) * scale,
         "pos_embed": pos_embed,
         "ln_pre_scale": jnp.ones((D,)),
         "ln_pre_bias": jnp.zeros((D,)),
         "blocks": blocks,
-        "ln_post_scale": jnp.ones((D,)),
-        "ln_post_bias": jnp.zeros((D,)),
-        "proj": jax.random.normal(next(k), (D, embed_dim)) * scale,
+        "ln_post_scale": jnp.ones((pool_dim,)),
+        "ln_post_bias": jnp.zeros((pool_dim,)),
+        "proj": jax.random.normal(next(k), (pool_dim, embed_dim)) * scale,
     }
+    if cfg.attentional_pool:
+        params["attn_pool"] = init_attn_pool_params(
+            next(k), embed_dim, D, cfg.attn_pooler_queries
+        )
+    return params
 
 
 def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
@@ -75,6 +81,55 @@ def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
     x = images.reshape(B, gh, patch, gw, patch, C)
     x = x.transpose(0, 1, 3, 2, 4, 5)  # [B, gh, gw, P, P, C]
     return x.reshape(B, gh * gw, patch * patch * C)
+
+
+def init_attn_pool_params(rng: jax.Array, d_model: int, context_dim: int, n_queries: int) -> Params:
+    """AttentionalPooler params (reference transformer.py:165-185):
+    learned queries + MHA with kdim=vdim=context_dim + q/k LayerNorms."""
+    k = iter(jax.random.split(rng, 8))
+    scale = d_model ** -0.5
+    return {
+        "query": jax.random.normal(next(k), (n_queries, d_model)),
+        # torch Linear convention [out, in]; forward applies x @ W.T
+        "q_proj_w": jax.random.normal(next(k), (d_model, d_model)) * scale,
+        "k_proj_w": jax.random.normal(next(k), (d_model, context_dim)) * scale,
+        "v_proj_w": jax.random.normal(next(k), (d_model, context_dim)) * scale,
+        "in_proj_b": jnp.zeros((3 * d_model,)),
+        "out_proj_w": jax.random.normal(next(k), (d_model, d_model)) * scale,
+        "out_proj_b": jnp.zeros((d_model,)),
+        "ln_q_scale": jnp.ones((d_model,)),
+        "ln_q_bias": jnp.zeros((d_model,)),
+        "ln_k_scale": jnp.ones((context_dim,)),
+        "ln_k_bias": jnp.zeros((context_dim,)),
+    }
+
+
+def attentional_pool(
+    x: jnp.ndarray, p: Params, num_heads: int, dtype: jnp.dtype
+) -> jnp.ndarray:
+    """Learned-query cross attention over patch tokens: [B, L, C] -> [B, Q, D]
+    (reference AttentionalPooler.forward, transformer.py:180-185)."""
+    B = x.shape[0]
+    keys = layers.layer_norm(x, p["ln_k_scale"], p["ln_k_bias"]).astype(dtype)
+    queries = layers.layer_norm(p["query"][None], p["ln_q_scale"], p["ln_q_bias"])[0]
+    d_model = queries.shape[-1]
+    head_dim = d_model // num_heads
+
+    bq, bk, bv = jnp.split(p["in_proj_b"].astype(dtype), 3)
+    q = (queries.astype(dtype) @ p["q_proj_w"].astype(dtype).T + bq)      # [Q, D]
+    k = keys @ p["k_proj_w"].astype(dtype).T + bk                         # [B, L, D]
+    v = keys @ p["v_proj_w"].astype(dtype).T + bv
+
+    Q = q.shape[0]
+    qh = jnp.broadcast_to(q.reshape(1, Q, num_heads, head_dim), (B, Q, num_heads, head_dim))
+    kh = k.reshape(B, -1, num_heads, head_dim)
+    vh = v.reshape(B, -1, num_heads, head_dim)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh * head_dim ** -0.5, kh,
+                        preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh, preferred_element_type=jnp.float32)
+    out = out.reshape(B, Q, d_model).astype(dtype)
+    return out @ p["out_proj_w"].astype(dtype).T + p["out_proj_b"].astype(dtype)
 
 
 def patch_dropout(x: jnp.ndarray, prob: float, rng: jax.Array) -> jnp.ndarray:
@@ -126,7 +181,13 @@ def vit_forward(
         x, params["blocks"], cfg.heads, False, act, dtype, remat=remat
     )
 
-    if cfg.final_ln_after_pool:
+    if cfg.attentional_pool:
+        # CoCa-style: pool with learned queries, then ln_post + tok pooling
+        # (reference transformer.py:529-533)
+        x = attentional_pool(x, params["attn_pool"], cfg.attn_pooler_heads, dtype)
+        x = layers.layer_norm(x, params["ln_post_scale"], params["ln_post_bias"])
+        pooled = x[:, 1:].mean(axis=1) if cfg.pool_type == "avg" else x[:, 0]
+    elif cfg.final_ln_after_pool:
         pooled = x[:, 1:].mean(axis=1) if cfg.pool_type == "avg" else x[:, 0]
         pooled = layers.layer_norm(pooled, params["ln_post_scale"], params["ln_post_bias"])
     else:

@@ -76,3 +76,18 @@ def test_reduction_strategies():
     # short texts are unchanged by reductions
     short = random_mask_tokenize(tok, "hello world", context_length=32, rng=rng)
     np.testing.assert_array_equal(short[0][:5], tok("hello world", 32)[0][:5])
+
+
+def test_attentional_pool_forward():
+    cfg = dataclasses.replace(
+        TINY,
+        vision=dataclasses.replace(
+            TINY.vision, attentional_pool=True, attn_pooler_queries=8, attn_pooler_heads=4
+        ),
+    )
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    assert "attn_pool" in params["visual"]
+    imgs = np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32)
+    feats = encode_image(params, cfg, imgs, normalize=True)
+    assert feats.shape == (2, cfg.embed_dim)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(feats), axis=-1), 1.0, atol=1e-5)
