@@ -96,14 +96,22 @@ def residual_block(
     act,
     dtype: jnp.dtype,
 ) -> jnp.ndarray:
-    """Pre-LN residual attention block (reference transformer.py:231-243)."""
-    x = x + mha(layer_norm(x, p["ln_1_scale"], p["ln_1_bias"]), p, num_heads, causal, dtype)
-    x = x + mlp(
-        layer_norm(x, p["ln_2_scale"], p["ln_2_bias"]),
-        p,
-        act,
-        dtype,
-    )
+    """Pre-LN residual attention block (reference transformer.py:231-243).
+
+    The LN→projection pairs go through the (flag-gated) fused pallas kernel;
+    with the flag off this is exactly LN + dense.
+    """
+    from latteclip_tpu.kernels import attention_core
+    from latteclip_tpu.kernels.fused_ln_linear import ln_linear
+
+    D = x.shape[-1]
+    qkv = ln_linear(x, p["ln_1_scale"], p["ln_1_bias"], p["in_proj_w"], p["in_proj_b"], dtype)
+    q, k, v = qkv[:, :, :D], qkv[:, :, D:2 * D], qkv[:, :, 2 * D:]
+    attn = attention_core(q, k, v, num_heads, causal, dtype=dtype)
+    x = x + dense(attn, p["out_proj_w"], p["out_proj_b"], dtype)
+
+    h = ln_linear(x, p["ln_2_scale"], p["ln_2_bias"], p["c_fc_w"], p["c_fc_b"], dtype)
+    x = x + dense(act(h), p["c_proj_w"], p["c_proj_b"], dtype)
     return x
 
 

@@ -68,3 +68,29 @@ def test_dispatcher_uses_xla_on_cpu():
     from latteclip_tpu.kernels import _pallas_enabled
 
     assert _pallas_enabled() is False  # tests run on CPU
+
+
+def test_fused_ln_linear_matches_unfused(monkeypatch):
+    """Fused kernel (interpret mode on CPU) == LN + dense, values and grads."""
+    import latteclip_tpu.kernels.fused_ln_linear as F
+
+    monkeypatch.setenv("LATTECLIP_FUSED_LN", "1")
+    F._enabled.cache_clear()
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 16, 64).astype(np.float32) * 0.5, jnp.bfloat16)
+    scale = jnp.asarray(1.0 + 0.1 * rng.randn(64).astype(np.float32))
+    bias = jnp.asarray(0.1 * rng.randn(64).astype(np.float32))
+    w = jnp.asarray(rng.randn(64, 128).astype(np.float32) * 0.1)
+    wb = jnp.asarray(0.1 * rng.randn(128).astype(np.float32))
+
+    fused = np.asarray(F.fused_ln_linear(x, scale, bias, w, wb), np.float32)
+    ref = np.asarray(F._unfused(x, scale, bias, w, wb, jnp.bfloat16), np.float32)
+    # kernel accumulates in f32, the unfused path in bf16: one-ulp bf16
+    # differences on a fraction of elements are expected
+    np.testing.assert_allclose(fused, ref, atol=1e-1, rtol=1e-1)
+
+    g_f = jax.grad(lambda *a: jnp.sum(F.fused_ln_linear(*a).astype(jnp.float32) ** 2), argnums=(0, 1, 3))(x, scale, bias, w, wb)
+    g_r = jax.grad(lambda *a: jnp.sum(F._unfused(*a, jnp.bfloat16).astype(jnp.float32) ** 2), argnums=(0, 1, 3))(x, scale, bias, w, wb)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b, np.float32), atol=3e-2, rtol=3e-2)
+    F._enabled.cache_clear()
