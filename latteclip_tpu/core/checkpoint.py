@@ -195,6 +195,97 @@ def _resnet_visual_to_sd(v: Dict[str, Any], cfg) -> Dict[str, np.ndarray]:
     return sd
 
 
+_CROSS_EXTRA = {
+    "ln_1_kv_scale": ("ln_1_kv.weight", False),
+    "ln_1_kv_bias": ("ln_1_kv.bias", False),
+}
+
+
+def _stack_named_blocks(sd, prefix: str, layers: int, extra=None) -> Dict[str, np.ndarray]:
+    """Like _stack_blocks but for an explicit module list prefix (e.g.
+    ``text_decoder.cross_attn``) with optional extra keys."""
+    keys = dict(_BLOCK_KEYS)
+    if extra:
+        keys.update(extra)
+    blocks: Dict[str, np.ndarray] = {}
+    for ours, (suffix, transpose) in keys.items():
+        per_layer = []
+        for i in range(layers):
+            w = np.asarray(sd[f"{prefix}.{i}.{suffix}"], dtype=np.float32)
+            per_layer.append(w.T if transpose else w)
+        blocks[ours] = np.stack(per_layer)
+    return blocks
+
+
+def _attn_pool_from_sd(sd, prefix: str) -> Dict[str, np.ndarray]:
+    def f32(k):
+        return np.asarray(sd[f"{prefix}.{k}"], np.float32)
+
+    return {
+        "query": f32("query"),
+        "q_proj_w": f32("attn.q_proj_weight"),
+        "k_proj_w": f32("attn.k_proj_weight"),
+        "v_proj_w": f32("attn.v_proj_weight"),
+        "in_proj_b": f32("attn.in_proj_bias"),
+        "out_proj_w": f32("attn.out_proj.weight"),
+        "out_proj_b": f32("attn.out_proj.bias"),
+        "ln_q_scale": f32("ln_q.weight"),
+        "ln_q_bias": f32("ln_q.bias"),
+        "ln_k_scale": f32("ln_k.weight"),
+        "ln_k_bias": f32("ln_k.bias"),
+    }
+
+
+def coca_state_dict_to_params(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """Map a torch CoCa state dict (reference coca_model.py layout) to our
+    param pytree: ``text.*`` tower with cls token, ``visual.*`` ViT with
+    attentional pooling, ``text_decoder.*`` multimodal decoder."""
+    sd = dict(sd)
+
+    def f32(key):
+        return np.asarray(sd[key], dtype=np.float32)
+
+    P = cfg.vision.patch_size
+    conv = f32("visual.conv1.weight")
+    visual = {
+        "patch_kernel": conv.transpose(2, 3, 1, 0).reshape(P * P * 3, -1),
+        "class_embedding": f32("visual.class_embedding"),
+        "pos_embed": f32("visual.positional_embedding"),
+        "ln_pre_scale": f32("visual.ln_pre.weight"),
+        "ln_pre_bias": f32("visual.ln_pre.bias"),
+        "blocks": _stack_blocks(sd, "visual.transformer.", cfg.vision.layers),
+        "ln_post_scale": f32("visual.ln_post.weight"),
+        "ln_post_bias": f32("visual.ln_post.bias"),
+        "proj": f32("visual.proj"),
+        "attn_pool": _attn_pool_from_sd(sd, "visual.attn_pool"),
+    }
+    text = {
+        "token_embedding": f32("text.token_embedding.weight"),
+        "cls_emb": f32("text.cls_emb"),
+        "pos_embed": f32("text.positional_embedding"),
+        "blocks": _stack_blocks(sd, "text.transformer.", cfg.text.layers),
+        "ln_final_scale": f32("text.ln_final.weight"),
+        "ln_final_bias": f32("text.ln_final.bias"),
+        "text_projection": f32("text.text_projection"),
+    }
+    decoder = {
+        "blocks": _stack_named_blocks(sd, "text_decoder.resblocks", cfg.multimodal.layers),
+        "cross": _stack_named_blocks(
+            sd, "text_decoder.cross_attn", cfg.multimodal.layers, extra=_CROSS_EXTRA
+        ),
+        "ln_final_scale": f32("text_decoder.ln_final.weight"),
+        "ln_final_bias": f32("text_decoder.ln_final.bias"),
+        "text_projection": f32("text_decoder.text_projection"),
+    }
+    params = {
+        "visual": visual,
+        "text": text,
+        "text_decoder": decoder,
+        "logit_scale": f32("logit_scale").reshape(()),
+    }
+    return jax.tree.map(jnp.asarray, params)
+
+
 def pt_state_dict_to_params(
     sd: Dict[str, np.ndarray], cfg: CLIPConfig
 ) -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:

@@ -80,6 +80,7 @@ class TextConfig:
     pool_type: str = "argmax"       # 'argmax' (EOT) | 'first' | 'last'
     pad_id: int = 0
     no_causal_mask: bool = False
+    embed_cls: bool = False         # append a class token (CoCa text tower)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -94,6 +95,23 @@ class CLIPConfig:
     # bf16 (replaces the reference's AMP fp16 + LayerNormFp32 arrangement,
     # reference src/open_clip/transformer.py:15-21).
     compute_dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class CoCaConfig:
+    """CoCa: contrastive towers + a multimodal caption decoder (reference
+    ``coca_model.py:79-185``). ``multimodal`` reuses TextConfig fields for
+    the decoder (width/heads/layers/context_length)."""
+
+    name: str
+    embed_dim: int
+    vision: VisionConfig
+    text: TextConfig
+    multimodal: TextConfig
+    quick_gelu: bool = False
+    init_logit_scale: float = 2.6592600369
+    compute_dtype: str = "bfloat16"
+    pad_id: int = 0
 
 
 def _filter_fields(cls, d: Dict[str, Any]) -> Dict[str, Any]:
@@ -112,11 +130,21 @@ def config_from_dict(name: str, raw: Dict[str, Any]) -> CLIPConfig:
         vision = ResNetVisionConfig(**fields)
     else:
         vision = VisionConfig(**_filter_fields(VisionConfig, vision_raw))
+    text = TextConfig(**_filter_fields(TextConfig, raw.get("text_cfg", {})))
+    if "multimodal_cfg" in raw:
+        return CoCaConfig(
+            name=name,
+            embed_dim=int(raw["embed_dim"]),
+            vision=vision,
+            text=text,
+            multimodal=TextConfig(**_filter_fields(TextConfig, raw["multimodal_cfg"])),
+            quick_gelu=quick_gelu,
+        )
     return CLIPConfig(
         name=name,
         embed_dim=int(raw["embed_dim"]),
         vision=vision,
-        text=TextConfig(**_filter_fields(TextConfig, raw.get("text_cfg", {}))),
+        text=text,
         quick_gelu=quick_gelu,
     )
 

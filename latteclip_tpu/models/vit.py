@@ -155,8 +155,11 @@ def vit_forward(
     remat: bool = False,
     train: bool = False,
     rng: jax.Array = None,
-) -> jnp.ndarray:
-    """Images [B, H, W, 3] -> pooled features [B, embed_dim] (f32)."""
+    output_tokens: bool = False,
+):
+    """Images [B, H, W, 3] -> pooled features [B, embed_dim] (f32); with
+    ``output_tokens`` also returns the token embeddings (CoCa decoder input,
+    reference transformer.py:529-546)."""
     B = images.shape[0]
     act = layers.quick_gelu if quick_gelu else layers.gelu
 
@@ -186,13 +189,18 @@ def vit_forward(
         # (reference transformer.py:529-533)
         x = attentional_pool(x, params["attn_pool"], cfg.attn_pooler_heads, dtype)
         x = layers.layer_norm(x, params["ln_post_scale"], params["ln_post_bias"])
-        pooled = x[:, 1:].mean(axis=1) if cfg.pool_type == "avg" else x[:, 0]
+        tokens = x[:, 1:]
+        pooled = tokens.mean(axis=1) if cfg.pool_type == "avg" else x[:, 0]
     elif cfg.final_ln_after_pool:
-        pooled = x[:, 1:].mean(axis=1) if cfg.pool_type == "avg" else x[:, 0]
+        tokens = x[:, 1:]
+        pooled = tokens.mean(axis=1) if cfg.pool_type == "avg" else x[:, 0]
         pooled = layers.layer_norm(pooled, params["ln_post_scale"], params["ln_post_bias"])
     else:
         x = layers.layer_norm(x, params["ln_post_scale"], params["ln_post_bias"])
-        pooled = x[:, 1:].mean(axis=1) if cfg.pool_type == "avg" else x[:, 0]
+        tokens = x[:, 1:]
+        pooled = tokens.mean(axis=1) if cfg.pool_type == "avg" else x[:, 0]
 
-    out = layers.dense(pooled, params["proj"], None, dtype)
-    return out.astype(jnp.float32)
+    out = layers.dense(pooled, params["proj"], None, dtype).astype(jnp.float32)
+    if output_tokens:
+        return out, tokens
+    return out

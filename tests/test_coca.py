@@ -1,0 +1,121 @@
+"""CoCa: parity vs the reference torch model + loss/generation behavior."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from latteclip_tpu.core.checkpoint import coca_state_dict_to_params
+from latteclip_tpu.core.config import CoCaConfig, config_from_dict
+from latteclip_tpu.models.coca import (
+    coca_forward,
+    coca_loss,
+    generate,
+    init_coca_params,
+)
+
+from ref_oracle import load_reference_open_clip
+
+COCA_SMALL = {
+    "embed_dim": 32,
+    "vision_cfg": {
+        "image_size": 32, "layers": 2, "width": 64, "patch_size": 16,
+        "attentional_pool": True, "attn_pooler_queries": 8, "attn_pooler_heads": 4,
+        "output_tokens": True,
+    },
+    "text_cfg": {
+        "context_length": 12, "vocab_size": 96, "width": 32, "heads": 4,
+        "layers": 2, "embed_cls": True, "output_tokens": True,
+    },
+    "multimodal_cfg": {
+        "context_length": 12, "vocab_size": 96, "width": 32, "heads": 4, "layers": 2,
+    },
+}
+
+
+def _cfg():
+    import dataclasses
+
+    cfg = config_from_dict("coca_small", COCA_SMALL)
+    assert isinstance(cfg, CoCaConfig)
+    return dataclasses.replace(cfg, compute_dtype="float32")
+
+
+def _tokens(cfg, batch=3, seed=1):
+    rng = np.random.RandomState(seed)
+    ctx = cfg.text.context_length
+    tokens = np.zeros((batch, ctx), dtype=np.int32)
+    for i in range(batch):
+        n = rng.randint(3, ctx)
+        tokens[i, :n] = rng.randint(1, cfg.text.vocab_size - 1, size=n)
+    return tokens
+
+
+def test_coca_config_dispatch():
+    cfg = _cfg()
+    assert cfg.multimodal.layers == 2 and cfg.text.embed_cls
+
+
+def test_coca_forward_shapes_and_loss():
+    cfg = _cfg()
+    params = init_coca_params(jax.random.PRNGKey(0), cfg)
+    images = np.random.RandomState(0).rand(3, 32, 32, 3).astype(np.float32)
+    tokens = _tokens(cfg)
+    out = coca_forward(params, cfg, images, tokens)
+    assert out["image_features"].shape == (3, cfg.embed_dim)
+    assert out["text_features"].shape == (3, cfg.embed_dim)
+    assert out["logits"].shape == (3, cfg.text.context_length, cfg.text.vocab_size)
+    losses = coca_loss(out)
+    assert np.isfinite(float(losses["contrastive_loss"]))
+    assert np.isfinite(float(losses["caption_loss"]))
+
+
+@pytest.mark.skipif(load_reference_open_clip() is None, reason="oracle unavailable")
+def test_coca_parity_vs_reference():
+    import torch
+
+    oc = load_reference_open_clip()
+    torch.manual_seed(0)
+    ref = oc.coca_model.CoCa(
+        embed_dim=COCA_SMALL["embed_dim"],
+        multimodal_cfg=COCA_SMALL["multimodal_cfg"],
+        text_cfg=COCA_SMALL["text_cfg"],
+        vision_cfg=COCA_SMALL["vision_cfg"],
+    ).eval()
+    gen = torch.Generator().manual_seed(3)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.copy_(torch.randn(p.shape, generator=gen) * 0.05)
+
+    cfg = _cfg()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = coca_state_dict_to_params(sd, cfg)
+
+    rng = np.random.RandomState(7)
+    images = rng.rand(2, 32, 32, 3).astype(np.float32)
+    tokens = _tokens(cfg, batch=2, seed=11)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(images.transpose(0, 3, 1, 2)), torch.from_numpy(tokens).long())
+    out = coca_forward(params, cfg, images, tokens)
+
+    np.testing.assert_allclose(
+        np.asarray(out["image_features"]), ref_out["image_features"].numpy(), atol=5e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["text_features"]), ref_out["text_features"].numpy(), atol=5e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["logits"]), ref_out["logits"].numpy(), atol=1e-4, rtol=1e-3
+    )
+    np.testing.assert_array_equal(np.asarray(out["labels"]), ref_out["labels"].numpy())
+
+
+def test_coca_generate():
+    cfg = _cfg()
+    params = init_coca_params(jax.random.PRNGKey(0), cfg)
+    images = np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32)
+    toks = generate(params, cfg, images, seq_len=6, sot_token_id=1, eot_token_id=2)
+    assert toks.shape == (2, cfg.text.context_length)
+    assert (toks[:, 0] == 1).all()
+    toks_tk = generate(params, cfg, images, seq_len=6, top_k=3, sot_token_id=1, eot_token_id=2)
+    assert toks_tk.shape == toks.shape
