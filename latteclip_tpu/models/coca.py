@@ -36,7 +36,7 @@ from latteclip_tpu.models import layers as L
 from latteclip_tpu.models import text as text_mod
 from latteclip_tpu.models import vit as vit_mod
 from latteclip_tpu.models.layers import Params, l2_normalize
-from latteclip_tpu.train.objective import clip_loss, cross_entropy_with_int_labels
+from latteclip_tpu.train.objective import clip_loss
 
 NEG_INF = -1e9
 

@@ -128,7 +128,6 @@ def train(
         state = state.start_epoch()
         meters: Dict[str, AverageMeter] = {}
         thr = Throughput(pipeline.cfg.batch_size, jax.device_count())
-        pending = None  # delayed metrics readback: keeps the device busy
 
         for i, host_batch in enumerate(prefetch(pipeline.epoch(epoch), size=pipeline.cfg.prefetch_batches)):
             thr.tick_data()
