@@ -40,6 +40,7 @@ from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
+from PIL import Image
 
 from latteclip_tpu.data import transforms as T
 from latteclip_tpu.data.tar_reader import (
@@ -136,6 +137,11 @@ class PipelineConfig:
     host_index: int = 0
     host_count: int = 1
     prefetch_batches: int = 2
+    # Decoded-image cache: LatteCLIP datasets are small (3.9k-70k images) and
+    # run for 15-100 epochs; caching the decoded RGB arrays makes epochs 2+
+    # skip JPEG decode entirely (the host-side bottleneck). Capped in bytes;
+    # 0 disables.
+    decode_cache_bytes: int = 4 * 1024**3
 
 
 class TrainPipeline:
@@ -160,6 +166,8 @@ class TrainPipeline:
             else 77
         )
         self._epoch_rngs: Dict[int, np.random.Generator] = {}
+        self._decode_cache: Dict[str, np.ndarray] = {}
+        self._decode_cache_used = 0
 
     # -- sample-level assembly ---------------------------------------------
     def _assemble(self, raw: Dict[str, bytes], rng: np.random.Generator) -> Optional[dict]:
@@ -170,9 +178,19 @@ class TrainPipeline:
         if img_bytes is None:
             return None
         try:
-            import io as _io
+            cached = self._decode_cache.get(image_id)
+            if cached is not None:
+                img = Image.fromarray(cached)
+            else:
+                import io as _io
 
-            img = T.load_rgb(_io.BytesIO(img_bytes))
+                img = T.load_rgb(_io.BytesIO(img_bytes))
+                if self.cfg.decode_cache_bytes:
+                    arr_full = np.asarray(img, dtype=np.uint8)
+                    if self._decode_cache_used + arr_full.nbytes <= self.cfg.decode_cache_bytes:
+                        # benign under threads: worst case a duplicate store
+                        self._decode_cache[image_id] = arr_full
+                        self._decode_cache_used += arr_full.nbytes
             arr = T.random_resized_crop(img, self.cfg.image_size, rng)
         except Exception as e:  # tolerant decode, reference data.py:208-211
             logger.warning("decode failed for %s: %s", image_id, e)

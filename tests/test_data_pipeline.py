@@ -109,3 +109,25 @@ def test_train_pipeline_batches(fixture_root):
     assert np.array_equal(batches[0]["zs_preds"], again[0]["zs_preds"])
     other = next(iter(pipe.epoch(1)))
     assert not np.array_equal(batches[0]["images"], other["images"])
+
+
+def test_decode_cache_speeds_epochs(fixture_root):
+    tok = get_tokenizer()
+    class_names = [c.lower().replace("_", " ") for c in DEFAULT_CLASSES]
+    data = build_train_data(
+        os.path.join(fixture_root, "webdataset", "train_tars"),
+        os.path.join(fixture_root, "clip_features_train.pkl"),
+        [os.path.join(fixture_root, "captions_per_image")],
+        [os.path.join(fixture_root, "captions_per_group")],
+        class_names, tok,
+    )
+    pipe = TrainPipeline(data, PipelineConfig(batch_size=8, image_size=64, num_threads=2), num_samples=24)
+    first = list(pipe.epoch(0))
+    assert len(pipe._decode_cache) == 24  # all train images cached
+    second = list(pipe.epoch(0))  # same epoch -> deterministic equality holds
+    assert np.array_equal(first[0]["images"], second[0]["images"])
+
+    # cap of 0 disables caching
+    pipe2 = TrainPipeline(data, PipelineConfig(batch_size=8, image_size=64, num_threads=2, decode_cache_bytes=0), num_samples=24)
+    list(pipe2.epoch(0))
+    assert len(pipe2._decode_cache) == 0
