@@ -142,6 +142,11 @@ class PipelineConfig:
     # skip JPEG decode entirely (the host-side bottleneck). Capped in bytes;
     # 0 disables.
     decode_cache_bytes: int = 4 * 1024**3
+    # Native fused decode+crop+resize (latteclip_tpu/native): DCT-scaled
+    # libjpeg decode + bilinear resize. Train-augmentation only (bilinear vs
+    # PIL bicubic — eval always uses the PIL path for parity); ~1.3-1.7x the
+    # PIL path per image on one core, more on large images.
+    use_native_jpeg: bool = False
 
 
 class TrainPipeline:
@@ -177,6 +182,21 @@ class TrainPipeline:
         img_bytes = raw.get("jpg") or raw.get("jpeg") or raw.get("png") or raw.get("webp")
         if img_bytes is None:
             return None
+        if self.cfg.use_native_jpeg and ("jpg" in raw or "jpeg" in raw):
+            from latteclip_tpu.native import load_fastjpeg
+
+            fj = load_fastjpeg()
+            if fj is not None:
+                try:
+                    w, h = fj.probe(img_bytes)
+                    left, top, cw, ch = T.random_crop_box(w, h, rng)
+                    out = fj.decode_crop_resize(img_bytes, left, top, cw, ch, self.cfg.image_size)
+                    arr = np.frombuffer(out, np.uint8).reshape(
+                        self.cfg.image_size, self.cfg.image_size, 3
+                    )
+                    return self._finish_sample(raw, image_id, arr, rng)
+                except ValueError as e:
+                    logger.warning("native decode failed for %s: %s", image_id, e)
         try:
             cached = self._decode_cache.get(image_id)
             if cached is not None:
@@ -195,7 +215,10 @@ class TrainPipeline:
         except Exception as e:  # tolerant decode, reference data.py:208-211
             logger.warning("decode failed for %s: %s", image_id, e)
             return None
+        return self._finish_sample(raw, image_id, arr, rng)
 
+    def _finish_sample(self, raw: Dict[str, bytes], image_id: str, arr: np.ndarray,
+                       rng: np.random.Generator) -> Optional[dict]:
         zs_pred = self.data.zs_top1[image_id]
         zeros = np.zeros(self._tok_dim, dtype=np.int32)
 

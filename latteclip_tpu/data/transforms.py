@@ -67,15 +67,14 @@ def eval_resize_crop(img: Image.Image, size: int) -> np.ndarray:
     return np.asarray(img, dtype=np.uint8)
 
 
-def random_resized_crop(
-    img: Image.Image,
-    size: int,
+def random_crop_box(
+    w: int,
+    h: int,
     rng: np.random.Generator,
     scale: Tuple[float, float] = (0.9, 1.0),
     ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
-) -> np.ndarray:
-    """torchvision RandomResizedCrop semantics -> uint8 [size, size, 3]."""
-    w, h = img.size
+) -> Tuple[int, int, int, int]:
+    """torchvision RandomResizedCrop box sampling -> (left, top, cw, ch)."""
     area = w * h
     log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
     for _ in range(10):
@@ -86,8 +85,7 @@ def random_resized_crop(
         if 0 < cw <= w and 0 < ch <= h:
             left = int(rng.integers(0, w - cw + 1))
             top = int(rng.integers(0, h - ch + 1))
-            img = img.resize((size, size), Image.BICUBIC, box=(left, top, left + cw, top + ch))
-            return np.asarray(img, dtype=np.uint8)
+            return left, top, cw, ch
     # fallback: center crop at clamped aspect (torchvision fallback path)
     in_ratio = w / h
     if in_ratio < ratio[0]:
@@ -96,7 +94,19 @@ def random_resized_crop(
         cw, ch = int(round(h * ratio[1])), h
     else:
         cw, ch = w, h
-    left, top = (w - cw) // 2, (h - ch) // 2
+    return (w - cw) // 2, (h - ch) // 2, cw, ch
+
+
+def random_resized_crop(
+    img: Image.Image,
+    size: int,
+    rng: np.random.Generator,
+    scale: Tuple[float, float] = (0.9, 1.0),
+    ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
+) -> np.ndarray:
+    """torchvision RandomResizedCrop semantics -> uint8 [size, size, 3]."""
+    w, h = img.size
+    left, top, cw, ch = random_crop_box(w, h, rng, scale, ratio)
     img = img.resize((size, size), Image.BICUBIC, box=(left, top, left + cw, top + ch))
     return np.asarray(img, dtype=np.uint8)
 

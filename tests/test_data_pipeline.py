@@ -131,3 +131,28 @@ def test_decode_cache_speeds_epochs(fixture_root):
     pipe2 = TrainPipeline(data, PipelineConfig(batch_size=8, image_size=64, num_threads=2, decode_cache_bytes=0), num_samples=24)
     list(pipe2.epoch(0))
     assert len(pipe2._decode_cache) == 0
+
+
+def test_native_jpeg_pipeline(fixture_root):
+    from latteclip_tpu.native import load_fastjpeg
+
+    if load_fastjpeg() is None:
+        pytest.skip("native toolchain unavailable")
+    tok = get_tokenizer()
+    class_names = [c.lower().replace("_", " ") for c in DEFAULT_CLASSES]
+    data = build_train_data(
+        os.path.join(fixture_root, "webdataset", "train_tars"),
+        os.path.join(fixture_root, "clip_features_train.pkl"),
+        [os.path.join(fixture_root, "captions_per_image")],
+        [os.path.join(fixture_root, "captions_per_group")],
+        class_names, tok,
+    )
+    pipe = TrainPipeline(
+        data, PipelineConfig(batch_size=8, image_size=64, num_threads=2, use_native_jpeg=True),
+        num_samples=24,
+    )
+    batches = list(pipe.epoch(0))
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["images"].shape == (8, 64, 64, 3) and b["images"].dtype == np.uint8
+    assert b["images"].std() > 1.0  # actual image content, not zeros
