@@ -66,9 +66,18 @@ def _normalize_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return sd
 
 
+_LS_KEYS = {
+    "ls_1_gamma": ("ls_1.gamma", False),
+    "ls_2_gamma": ("ls_2.gamma", False),
+}
+
+
 def _stack_blocks(sd: Dict[str, np.ndarray], prefix: str, layers: int) -> Dict[str, np.ndarray]:
     blocks: Dict[str, np.ndarray] = {}
-    for ours, (suffix, transpose) in _BLOCK_KEYS.items():
+    keys = dict(_BLOCK_KEYS)
+    if f"{prefix}resblocks.0.ls_1.gamma" in sd:
+        keys.update(_LS_KEYS)
+    for ours, (suffix, transpose) in keys.items():
         per_layer = []
         for i in range(layers):
             w = np.asarray(sd[f"{prefix}resblocks.{i}.{suffix}"], dtype=np.float32)
@@ -80,7 +89,10 @@ def _stack_blocks(sd: Dict[str, np.ndarray], prefix: str, layers: int) -> Dict[s
 def _unstack_blocks(blocks: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     layers = int(np.asarray(blocks["ln_1_scale"]).shape[0])
-    for ours, (suffix, transpose) in _BLOCK_KEYS.items():
+    keys = dict(_BLOCK_KEYS)
+    if "ls_1_gamma" in blocks:
+        keys.update(_LS_KEYS)
+    for ours, (suffix, transpose) in keys.items():
         arr = np.asarray(blocks[ours], dtype=np.float32)
         for i in range(layers):
             w = arr[i]

@@ -34,6 +34,7 @@ class VisionConfig:
     attentional_pool: bool = False  # learned-query pooling head (CoCa-style)
     attn_pooler_queries: int = 256
     attn_pooler_heads: int = 8
+    ls_init_value: float = None     # LayerScale init (None = disabled)
 
     @property
     def heads(self) -> int:
@@ -81,6 +82,7 @@ class TextConfig:
     pad_id: int = 0
     no_causal_mask: bool = False
     embed_cls: bool = False         # append a class token (CoCa text tower)
+    ls_init_value: float = None     # LayerScale init (None = disabled)
 
 
 @dataclasses.dataclass(frozen=True)

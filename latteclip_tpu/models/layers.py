@@ -108,11 +108,16 @@ def residual_block(
     qkv = ln_linear(x, p["ln_1_scale"], p["ln_1_bias"], p["in_proj_w"], p["in_proj_b"], dtype)
     q, k, v = qkv[:, :, :D], qkv[:, :, D:2 * D], qkv[:, :, 2 * D:]
     attn = attention_core(q, k, v, num_heads, causal, dtype=dtype)
-    x = x + dense(attn, p["out_proj_w"], p["out_proj_b"], dtype)
+    attn = dense(attn, p["out_proj_w"], p["out_proj_b"], dtype)
+    if "ls_1_gamma" in p:  # LayerScale (reference transformer.py:39-46,241-242)
+        attn = attn * p["ls_1_gamma"].astype(dtype)
+    x = x + attn
 
     h = ln_linear(x, p["ln_2_scale"], p["ln_2_bias"], p["c_fc_w"], p["c_fc_b"], dtype)
-    x = x + dense(act(h), p["c_proj_w"], p["c_proj_b"], dtype)
-    return x
+    h = dense(act(h), p["c_proj_w"], p["c_proj_b"], dtype)
+    if "ls_2_gamma" in p:
+        h = h * p["ls_2_gamma"].astype(dtype)
+    return x + h
 
 
 def transformer_stack(

@@ -42,6 +42,9 @@ def init_text_params(rng: jax.Array, cfg: TextConfig, embed_dim: int) -> Params:
         "c_proj_w": jax.random.normal(next(k), (L, mlp_width, D)) * proj_std,
         "c_proj_b": jnp.zeros((L, D)),
     }
+    if cfg.ls_init_value is not None:
+        blocks["ls_1_gamma"] = jnp.full((L, D), cfg.ls_init_value)
+        blocks["ls_2_gamma"] = jnp.full((L, D), cfg.ls_init_value)
     return {
         "token_embedding": jax.random.normal(next(k), (cfg.vocab_size, D)) * 0.02,
         "pos_embed": jax.random.normal(next(k), (cfg.context_length, D)) * 0.01,

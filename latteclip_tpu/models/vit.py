@@ -49,6 +49,9 @@ def init_vit_params(rng: jax.Array, cfg: VisionConfig, embed_dim: int) -> Params
         "c_proj_w": jax.random.normal(next(k), (L, mlp_width, D)) * proj_std,
         "c_proj_b": jnp.zeros((L, D)),
     }
+    if cfg.ls_init_value is not None:
+        blocks["ls_1_gamma"] = jnp.full((L, D), cfg.ls_init_value)
+        blocks["ls_2_gamma"] = jnp.full((L, D), cfg.ls_init_value)
     if cfg.pos_embed_type == "sin_cos_2d":
         from latteclip_tpu.models.pos_embed import sincos_2d
 

@@ -159,3 +159,32 @@ def test_resnet_feature_parity():
         if "num_batches_tracked" in k:
             continue
         np.testing.assert_allclose(back[k], sd[k], atol=1e-6, err_msg=k)
+
+
+def test_layerscale_parity():
+    """LayerScale blocks (ls_init_value) match the reference."""
+    import torch
+
+    from latteclip_tpu.models.clip import encode_image
+
+    cfg_dict = {
+        "embed_dim": 32,
+        "vision_cfg": {"image_size": 32, "layers": 2, "width": 64, "patch_size": 16, "ls_init_value": 0.1},
+        "text_cfg": {"context_length": 24, "vocab_size": 128, "width": 32, "heads": 4, "layers": 2, "ls_init_value": 0.1},
+    }
+    oc = load_reference_open_clip()
+    torch.manual_seed(0)
+    ref = oc.model.CLIP(embed_dim=32, vision_cfg=cfg_dict["vision_cfg"], text_cfg=cfg_dict["text_cfg"]).eval()
+    gen = torch.Generator().manual_seed(4)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.copy_(torch.randn(p.shape, generator=gen) * 0.05)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    cfg = dataclasses.replace(config_from_dict("ls_small", cfg_dict), compute_dtype="float32")
+    params, _ = pt_state_dict_to_params(sd, cfg)
+    assert "ls_1_gamma" in params["visual"]["blocks"]
+    images, tokens = _inputs(cfg, batch=2)
+    with torch.no_grad():
+        ref_img = ref.encode_image(torch.from_numpy(images.transpose(0, 3, 1, 2)), normalize=True).numpy()
+    ours = np.asarray(encode_image(params, cfg, images, normalize=True))
+    np.testing.assert_allclose(ours, ref_img, atol=3e-5, rtol=1e-4)
