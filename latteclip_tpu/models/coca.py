@@ -45,10 +45,10 @@ NEG_INF = -1e9
 # masked attention helpers (per-sample additive masks — CoCa only, XLA path)
 # ---------------------------------------------------------------------------
 
-def _masked_mha(x, kv, p, num_heads, mask, dtype, kv_is_self=True):
+def _masked_mha(x, kv, p, num_heads, mask, dtype):
     """MHA with an additive mask [B, Lq, Lk] (or None). x: [B, Lq, D].
 
-    For cross attention (kv_is_self=False) the torch in_proj weight splits:
+    For cross attention (kv is not x) the torch in_proj weight splits:
     q-part applies to queries, k/v-parts to the key/value stream.
     """
     B, Lq, D = x.shape
@@ -88,7 +88,7 @@ def _cross_block(x, kv, p, num_heads, act, dtype):
     ln_1_kv on the image tokens, no mask."""
     qn = L.layer_norm(x, p["ln_1_scale"], p["ln_1_bias"])
     kvn = L.layer_norm(kv, p["ln_1_kv_scale"], p["ln_1_kv_bias"])
-    x = x + _masked_mha(qn, kvn, p, num_heads, None, dtype, kv_is_self=False)
+    x = x + _masked_mha(qn, kvn, p, num_heads, None, dtype)
     x = x + L.mlp(L.layer_norm(x, p["ln_2_scale"], p["ln_2_bias"]), p, act, dtype)
     return x
 

@@ -64,6 +64,12 @@ class LoopConfig:
     eval_batch_size: int = 64
 
 
+# NOTE on FLYP eval parity: the reference evaluates flyp/rlcf with a
+# template-built classifier and "ours" with the prototype bank
+# (zero_shot.py:117-145). Here the bank is initialised from templates[0] and
+# FLYP steps never modify it, so the prototype classifier IS the template
+# classifier for the single-template datasets LatteCLIP uses — one code path
+# covers both methods.
 def evaluate_prototype_zero_shot(
     state: TrainState,
     cfg: CLIPConfig,
