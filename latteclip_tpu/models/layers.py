@@ -136,11 +136,12 @@ def transformer_stack(
         return out, None
 
     if remat:
-        # store the (small) attention outputs + logsumexps across the
-        # checkpoint boundary; everything else is recomputed. The backward
-        # pass then never re-runs the flash-attention forward kernel.
-        policy = jax.checkpoint_policies.save_only_these_names("flash_out", "flash_lse")
-        body = jax.checkpoint(body, prevent_cse=False, policy=policy)
+        # plain per-block checkpointing. A save_only_these_names policy over
+        # the flash-attention out/lse was tried and measured a no-op (the
+        # names live inside a custom_vjp fwd rule, which remat re-executes
+        # wholesale); revisit with lse as a primal output if attention refwd
+        # ever dominates.
+        body = jax.checkpoint(body, prevent_cse=False)
 
     x, _ = jax.lax.scan(body, x, stacked)
     return x
