@@ -152,15 +152,24 @@ def _flash_fwd_impl(q, k, v, causal: bool, num_heads: int):
 
 
 def _make_fa(num_heads: int):
+    # lse is a PRIMAL output (not just a residual): under jax.checkpoint with
+    # a policy saving {flash_out, flash_lse}, the residuals (q, k, v, lse)
+    # are then all either recomputed upstream or saved, so partial
+    # evaluation eliminates the forward kernel from the backward recompute.
     @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
     def fa(q, k, v, causal=False):
-        return _flash_fwd_impl(q, k, v, causal, num_heads)[0]
+        return _flash_fwd_impl(q, k, v, causal, num_heads)
 
     def fwd(q, k, v, causal):
-        o, lse = _flash_fwd_impl(q, k, v, causal, num_heads)
-        return o, (q, k, v, lse)
+        from jax.ad_checkpoint import checkpoint_name
 
-    def bwd(causal, res, g):
+        o, lse = _flash_fwd_impl(q, k, v, causal, num_heads)
+        o = checkpoint_name(o, "flash_out")
+        lse = checkpoint_name(lse, "flash_lse")
+        return (o, lse), (q, k, v, lse)
+
+    def bwd(causal, res, cots):
+        g, _g_lse = cots  # lse cotangent is unused (lse feeds no real output)
         q, k, v, lse = res
         B, L, HD = q.shape
         D = HD // num_heads
@@ -201,10 +210,16 @@ def flash_attention_packed(
     num_heads: int,
     causal: bool = False,
 ) -> jnp.ndarray:
-    """Fused attention on packed-head [B, L, H*D] tensors."""
+    """Fused attention on packed-head [B, L, H*D] tensors.
+
+    The fwd rule tags out/lse with checkpoint names so the remat policy in
+    ``layers.transformer_stack`` can pin them across the boundary (see
+    _make_fa for why that removes the kernel from the backward recompute).
+    """
     if num_heads not in _FA_CACHE:
         _FA_CACHE[num_heads] = _make_fa(num_heads)
-    return _FA_CACHE[num_heads](q, k, v, causal)
+    out, _lse = _FA_CACHE[num_heads](q, k, v, causal)
+    return out
 
 
 def flash_attention(

@@ -136,12 +136,13 @@ def transformer_stack(
         return out, None
 
     if remat:
-        # plain per-block checkpointing. A save_only_these_names policy over
-        # the flash-attention out/lse was tried and measured a no-op (the
-        # names live inside a custom_vjp fwd rule, which remat re-executes
-        # wholesale); revisit with lse as a primal output if attention refwd
-        # ever dominates.
-        body = jax.checkpoint(body, prevent_cse=False)
+        # Save the (small) flash-attention outputs + logsumexps across the
+        # checkpoint boundary: the kernel's residuals are exactly its inputs
+        # plus lse, so with out/lse pinned the backward recompute eliminates
+        # the attention forward entirely (lse is a primal output of the
+        # custom_vjp precisely to enable this).
+        policy = jax.checkpoint_policies.save_only_these_names("flash_out", "flash_lse")
+        body = jax.checkpoint(body, prevent_cse=False, policy=policy)
 
     x, _ = jax.lax.scan(body, x, stacked)
     return x
