@@ -425,6 +425,39 @@ def params_to_pt_state_dict(
     return {k: np.ascontiguousarray(w) for k, w in sd.items()}
 
 
+def flatten_opt_state(opt_state) -> Dict[str, np.ndarray]:
+    """Flatten an optax state pytree to {tree-path: ndarray} for checkpoint
+    storage — the parity of the reference's ``"optimizer": optimizer.
+    state_dict()`` (reference main.py:525-526)."""
+    flat = jax.tree_util.tree_flatten_with_path(opt_state)[0]
+    return {jax.tree_util.keystr(path): np.asarray(leaf) for path, leaf in flat}
+
+
+def restore_opt_state(template_opt_state, saved: Dict[str, np.ndarray]):
+    """Rebuild an optax state from a flattened dict, using a freshly-created
+    state as the structure template (the reference restores via
+    ``optimizer.load_state_dict``, main.py:378-379). Raises KeyError on a
+    structural mismatch so a silent partial restore can't happen."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template_opt_state)
+    leaves = []
+    for path, leaf in flat:
+        key = jax.tree_util.keystr(path)
+        if key not in saved:
+            raise KeyError(f"checkpoint optimizer state missing leaf {key}")
+        arr = np.asarray(saved[key])
+        tpl = np.asarray(leaf)
+        if arr.shape != tpl.shape:
+            # .pt storage is 1-d; 0-d counts come back as shape (1,)
+            if arr.size != tpl.size:
+                raise ValueError(
+                    f"optimizer leaf {key}: checkpoint shape {arr.shape} != "
+                    f"current {tpl.shape}"
+                )
+            arr = arr.reshape(tpl.shape)
+        leaves.append(jnp.asarray(arr, dtype=tpl.dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def load_clip_pt(path: str, cfg: CLIPConfig):
     """Load a checkpoint: torch ``.pt`` zip-pickle (bare state dict or
     ``{"epoch", "state_dict", ...}`` training checkpoint, reference
@@ -454,6 +487,8 @@ def save_clip_pt(
     name: Optional[str] = None,
     memory_bank: Optional[np.ndarray] = None,
     classnames: Optional[List[str]] = None,
+    opt_state=None,
+    step: Optional[int] = None,
 ) -> None:
     sd = params_to_pt_state_dict(params, cfg, memory_bank=memory_bank, classnames=classnames)
     obj: Dict[str, Any] = {"state_dict": sd}
@@ -461,6 +496,12 @@ def save_clip_pt(
         obj["epoch"] = epoch
     if name is not None:
         obj["name"] = name
+    if opt_state is not None:
+        # flattened optax state — reference checkpoints carry "optimizer"
+        # (main.py:519-526); resume restores AdamW moments + schedule count
+        obj["optimizer"] = flatten_opt_state(opt_state)
+    if step is not None:
+        obj["step"] = int(step)
     tmp = path + ".tmp"
     save_pt(obj, tmp)
     os.replace(tmp, path)  # atomic, reference main.py:546-551

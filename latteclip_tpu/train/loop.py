@@ -92,12 +92,13 @@ def save_epoch_checkpoint(
 ) -> None:
     os.makedirs(loop_cfg.checkpoint_dir, exist_ok=True)
     bank = np.asarray(state.memory_bank)
-    path = os.path.join(loop_cfg.checkpoint_dir, f"epoch_{epoch}.pt")
-    save_clip_pt(
-        path, state.params, cfg,
+    extra = dict(
         epoch=epoch, name=loop_cfg.name,
         memory_bank=bank, classnames=list(classnames),
+        opt_state=state.opt_state, step=int(state.step),
     )
+    path = os.path.join(loop_cfg.checkpoint_dir, f"epoch_{epoch}.pt")
+    save_clip_pt(path, state.params, cfg, **extra)
     if loop_cfg.delete_previous_checkpoint:
         prev = os.path.join(loop_cfg.checkpoint_dir, f"epoch_{epoch - 1}.pt")
         if os.path.exists(prev):
@@ -105,9 +106,7 @@ def save_epoch_checkpoint(
     # atomic latest (save_clip_pt already writes tmp + os.replace)
     save_clip_pt(
         os.path.join(loop_cfg.checkpoint_dir, "epoch_latest.pt"),
-        state.params, cfg,
-        epoch=epoch, name=loop_cfg.name,
-        memory_bank=bank, classnames=list(classnames),
+        state.params, cfg, **extra,
     )
 
 

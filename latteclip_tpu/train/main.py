@@ -234,6 +234,9 @@ def main(argv=None) -> int:
         schedule, beta1=args.beta1, beta2=args.beta2, eps=args.eps,
         weight_decay=args.wd, grad_clip_norm=args.grad_clip_norm,
         accum_steps=args.accum_freq,
+        lock_image=args.lock_image, lock_text=args.lock_text,
+        lock_image_unlocked_groups=args.lock_image_unlocked_groups,
+        lock_text_unlocked_groups=args.lock_text_unlocked_groups,
     )
 
     hp = LatteHParams(
@@ -266,8 +269,22 @@ def main(argv=None) -> int:
             )
             start_epoch = int(r_meta.get("epoch", 0))
             state = create_train_state(r_params, optimizer, r_bank_arr)
-            state = state.replace(step=jnp.asarray(start_epoch * pipeline.steps_per_epoch, jnp.int32))
-            logger.info("resumed from %s (epoch %d)", path, start_epoch)
+            resume_step = int(r_meta.get("step", start_epoch * pipeline.steps_per_epoch))
+            state = state.replace(step=jnp.asarray(resume_step, jnp.int32))
+            if "optimizer" in r_meta:
+                # restore AdamW moments + the optax schedule count so the LR
+                # schedule continues where it stopped (reference
+                # main.py:378-379 restores optimizer.state_dict())
+                state = state.replace(
+                    opt_state=ckpt.restore_opt_state(state.opt_state, r_meta["optimizer"])
+                )
+                logger.info("resumed optimizer state (%d leaves)", len(r_meta["optimizer"]))
+            else:
+                logger.warning(
+                    "checkpoint has no optimizer state; AdamW moments and the "
+                    "LR schedule restart from step 0"
+                )
+            logger.info("resumed from %s (epoch %d, step %d)", path, start_epoch, resume_step)
         else:
             logger.info("no checkpoint to resume from in %s", checkpoint_dir)
 

@@ -19,20 +19,35 @@ import jax
 import jax.numpy as jnp
 import optax
 
-# leaf names that receive weight decay (torch ndim>=2 equivalents)
-_DECAY_KEYS = {
-    "in_proj_w", "out_proj_w", "c_fc_w", "c_proj_w",
-    "patch_kernel", "proj", "text_projection", "token_embedding", "pos_embed",
-}
-# explicitly excluded: ln_* scales/biases, *_b biases, class_embedding, logit_scale
+# Subtrees whose leaves are stacked along a leading layer axis (lax.scan
+# towers): their torch-equivalent ndim is leaf.ndim - 1.
+_STACKED_SUBTREES = {"blocks", "cross"}
 
 
 def decay_mask(params: Dict[str, Any]):
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    """Reference decay rule (main.py:342): decay iff torch-ndim >= 2 and the
+    name contains none of bn/ln/bias/logit_scale. Our towers stack per-layer
+    params ([L, ...]), so the torch-equivalent ndim subtracts the layer axis
+    for leaves under a stacked subtree. Covers every family: ViT/text
+    (in_proj_w..., token_embedding, pos_embed decay; ln/bias/ls_gamma/
+    class_embedding don't), ResNet (conv*_w/down_conv_w/attnpool q_w..c_w
+    decay; bn stats+affine don't), CoCa (cross blocks decay; cls_emb
+    doesn't), AttentionalPooler (query/q_proj_w.. decay)."""
 
-    def mask_leaf(path, _leaf):
-        leaf_name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        return leaf_name in _DECAY_KEYS
+    def mask_leaf(path, leaf):
+        keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+        name = keys[-1]
+        if (
+            "bn" in name
+            or "ln" in name
+            or "bias" in name
+            or name.endswith("_b")
+            or "logit_scale" in name
+        ):
+            return False
+        stacked = any(k in _STACKED_SUBTREES for k in keys[:-1])
+        torch_ndim = jnp.ndim(leaf) - (1 if stacked else 0)
+        return torch_ndim >= 2
 
     return jax.tree_util.tree_map_with_path(mask_leaf, params)
 
@@ -106,6 +121,97 @@ def make_schedule(
     raise ValueError(f"unknown lr scheduler: {kind}")
 
 
+def trainable_mask(
+    params: Dict[str, Any],
+    *,
+    lock_image: bool = False,
+    lock_text: bool = False,
+) -> Dict[str, Any]:
+    """True = parameter receives optimizer updates.
+
+    Always freezes BatchNorm running stats (torch keeps them as buffers
+    outside the optimizer; they live in our param tree for checkpoint
+    round-trips). ``lock_image`` / ``lock_text`` freeze whole towers — the
+    reference's LiT-style ``--lock-image`` / ``--lock-text``
+    (``src/training/main.py:294-305``, ``src/open_clip/transformer.py:
+    435-466``); per-group partial unlocking is handled separately by
+    :func:`unlock_groups_vector` because block params are stacked here.
+    """
+
+    def mask_leaf(path, _leaf):
+        keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+        name = keys[-1]
+        if name.endswith("_mean") or name.endswith("_var"):
+            return False  # BN running stats are buffers, never optimized
+        if lock_image and keys and keys[0] == "visual":
+            return False
+        if lock_text and keys and keys[0] in ("text", "token_embedding"):
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(mask_leaf, params)
+
+
+def unlock_groups_vector(num_layers: int, unlocked_groups: int) -> jnp.ndarray:
+    """[L] 0/1 keep-vector: the last ``unlocked_groups`` blocks train, the
+    rest freeze — reference ``transformer.py:435-466`` group semantics for
+    stacked block params."""
+    keep = jnp.arange(num_layers) >= (num_layers - unlocked_groups)
+    return keep.astype(jnp.float32)
+
+
+# Reference lock-group ordering (transformer.py:435-466): the parameter
+# groups of a tower are [embeddings/pre, block_0 ... block_{L-1}, post/proj];
+# ``unlocked_groups=n`` unlocks the LAST n groups. Head/tail key sets per
+# tower (leaves not matched by either are conservatively kept trainable):
+_TOWER_HEAD_KEYS = {
+    "visual": {"patch_kernel", "class_embedding", "pos_embed", "ln_pre_scale", "ln_pre_bias"},
+    "text": {"token_embedding", "pos_embed"},
+}
+_TOWER_TAIL_KEYS = {
+    "visual": {"ln_post_scale", "ln_post_bias", "proj", "attn_pool"},
+    "text": {"ln_final_scale", "ln_final_bias", "text_projection", "cls_emb"},
+}
+
+
+def mask_tower_updates(tower: str, unlocked_groups: int):
+    """GradientTransformation zeroing one tower's updates per the reference
+    group semantics: ``unlocked_groups=1`` keeps only the post/proj group,
+    ``=2`` also the last block, etc. Applied AFTER AdamW so frozen slices
+    get neither the gradient step nor weight decay; their moments accumulate
+    zeros harmlessly. Works on stacked [L, ...] block params via a 0/1
+    layer-keep vector."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        tree = dict(updates[tower])
+        blocks = dict(tree["blocks"])
+        num_layers = jax.tree_util.tree_leaves(blocks)[0].shape[0]
+        keep_vec = unlock_groups_vector(num_layers, max(unlocked_groups - 1, 0))
+        for k, v in blocks.items():
+            keep = keep_vec.reshape((-1,) + (1,) * (jnp.ndim(v) - 1))
+            blocks[k] = v * keep.astype(v.dtype)
+        tree["blocks"] = blocks
+        head = _TOWER_HEAD_KEYS.get(tower, set())
+        tail = _TOWER_TAIL_KEYS.get(tower, set())
+        head_unlocked = unlocked_groups >= num_layers + 2
+        tail_unlocked = unlocked_groups >= 1
+        for k, v in tree.items():
+            if k == "blocks":
+                continue
+            if (k in head and not head_unlocked) or (k in tail and not tail_unlocked):
+                tree[k] = jax.tree_util.tree_map(jnp.zeros_like, v)
+        new = dict(updates)
+        new[tower] = tree
+        return new, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(
     schedule,
     *,
@@ -115,9 +221,13 @@ def make_optimizer(
     weight_decay: float = 0.2,
     grad_clip_norm: Optional[float] = None,
     accum_steps: int = 1,
+    lock_image: bool = False,
+    lock_text: bool = False,
+    lock_image_unlocked_groups: int = 0,
+    lock_text_unlocked_groups: int = 0,
 ) -> optax.GradientTransformation:
-    """AdamW with reference decay groups; optional grad clipping and
-    gradient accumulation.
+    """AdamW with reference decay groups; optional grad clipping, gradient
+    accumulation, and LiT-style tower locking.
 
     ``accum_steps > 1`` wraps the optimizer in ``optax.MultiSteps``: the
     parameter update applies every k train-step calls with averaged grads.
@@ -125,7 +235,21 @@ def make_optimizer(
     negatives stay within each microbatch (the reference's --accum-freq
     feature-caching scheme is unimplemented in its LatteCLIP path too —
     reference train.py:397,531-532 raises NotImplemented).
+
+    Locking: a fully locked tower (unlocked_groups == 0) is excluded via
+    ``optax.masked`` over :func:`trainable_mask` (no update, no decay);
+    with ``unlocked_groups > 0`` the last n blocks stay trainable and the
+    stack update is sliced per-layer by :func:`mask_tower_updates`.
     """
+    full_image_lock = lock_image and lock_image_unlocked_groups == 0
+    full_text_lock = lock_text and lock_text_unlocked_groups == 0
+
+    def not_trainable(params):
+        mask = trainable_mask(
+            params, lock_image=full_image_lock, lock_text=full_text_lock
+        )
+        return jax.tree_util.tree_map(lambda t: not t, mask)
+
     adamw = optax.adamw(
         learning_rate=schedule,
         b1=beta1,
@@ -134,7 +258,14 @@ def make_optimizer(
         weight_decay=weight_decay,
         mask=decay_mask,
     )
-    tx = adamw
+    parts = [adamw]
+    # zero out updates for frozen leaves (BN stats + fully locked towers)
+    parts.append(optax.masked(optax.set_to_zero(), not_trainable))
+    if lock_image and lock_image_unlocked_groups > 0:
+        parts.append(mask_tower_updates("visual", lock_image_unlocked_groups))
+    if lock_text and lock_text_unlocked_groups > 0:
+        parts.append(mask_tower_updates("text", lock_text_unlocked_groups))
+    tx = optax.chain(*parts) if len(parts) > 1 else adamw
     if grad_clip_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
     if accum_steps > 1:

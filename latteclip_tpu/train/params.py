@@ -65,6 +65,13 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--grad-clip-norm", type=float, default=None)
     p.add_argument("--accum-freq", type=int, default=1,
                    help="gradient accumulation steps (optax.MultiSteps)")
+    # LiT-style tower locking (reference params.py --lock-image/--lock-text,
+    # main.py:294-305). unlocked-groups counts from the output end: 1 =
+    # post-norm/proj only, 2 = + last block, ... (transformer.py:435-466).
+    p.add_argument("--lock-image", action="store_true", default=False)
+    p.add_argument("--lock-image-unlocked-groups", type=int, default=0)
+    p.add_argument("--lock-text", action="store_true", default=False)
+    p.add_argument("--lock-text-unlocked-groups", type=int, default=0)
 
     # LatteCLIP objective / eval method
     p.add_argument("--method", type=str, default="ours",

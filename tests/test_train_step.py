@@ -130,6 +130,28 @@ def test_decay_mask_names(setup):
     assert mask["logit_scale"] is False
 
 
+def test_decay_mask_resnet():
+    """RN50 conv/attnpool weights must decay like the reference's ndim>=2
+    rule (main.py:342); BN affine+stats and biases must not."""
+    from latteclip_tpu.core.config import get_model_config
+
+    cfg = get_model_config("RN50")
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    mask = decay_mask(params)
+    v = mask["visual"]
+    stem = v["stem"]
+    assert stem["conv1_w"] is True and stem["conv2_w"] is True and stem["conv3_w"] is True
+    assert stem["bn1_scale"] is False and stem["bn1_mean"] is False and stem["bn1_var"] is False
+    first_block = v["stages"][0][0]
+    assert first_block["conv1_w"] is True
+    assert first_block["bn1_scale"] is False
+    assert first_block["down_conv_w"] is True
+    ap = v["attnpool"]
+    assert ap["q_w"] is True and ap["k_w"] is True and ap["v_w"] is True and ap["c_w"] is True
+    assert ap["q_b"] is False and ap["c_b"] is False
+    assert ap["pos_embed"] is True
+
+
 def test_schedule_matches_reference_formula():
     sched = make_schedule("cosine", base_lr=1.0, warmup=5, total_steps=25)
     # warmup: base*(step+1)/warmup
