@@ -74,3 +74,31 @@ def validation_loss(
     metrics["clip_val_loss"] = cumulative / n
     metrics["num_samples"] = n
     return metrics
+
+
+def evaluate_val_pairs(
+    params,
+    cfg: CLIPConfig,
+    dataset,
+    batch_size: int = 64,
+    tokenizer=None,
+) -> Dict[str, float]:
+    """Epoch val-set evaluation over an (image, caption) pairs dataset —
+    the reference ``evaluate``'s val branch (``train.py:1399-1471``):
+    contrastive val loss + image↔text R@1/5/10. ``dataset`` exposes
+    ``__len__`` and ``load_sample(i) -> (uint8 image, caption str)``
+    (e.g. :class:`latteclip_tpu.data.folder_dataset.CsvDataset`)."""
+    if tokenizer is None:
+        from latteclip_tpu.models.tokenizer import get_tokenizer
+
+        tokenizer = get_tokenizer(cfg.text.context_length)
+
+    def batches():
+        for start in range(0, len(dataset), batch_size):
+            idx = range(start, min(start + batch_size, len(dataset)))
+            samples = [dataset.load_sample(i) for i in idx]
+            imgs = np.stack([s[0] for s in samples])
+            toks = tokenizer([s[1] for s in samples])
+            yield imgs, toks
+
+    return validation_loss(params, cfg, batches())

@@ -62,25 +62,71 @@ class LoopConfig:
     save_frequency: int = 1
     delete_previous_checkpoint: bool = False
     eval_batch_size: int = 64
+    method: str = "ours"  # eval-classifier dispatch, reference zero_shot.py:117-145
 
 
-# NOTE on FLYP eval parity: the reference evaluates flyp/rlcf with a
-# template-built classifier and "ours" with the prototype bank
-# (zero_shot.py:117-145). Here the bank is initialised from templates[0] and
-# FLYP steps never modify it, so the prototype classifier IS the template
-# classifier for the single-template datasets LatteCLIP uses — one code path
-# covers both methods.
+def _host_local_eval_state(state: TrainState) -> TrainState:
+    """Fetch the (replicated) arrays eval needs to host memory.
+
+    In a multi-host job, jitted eval on one process over globally-committed
+    arrays deadlocks (collectives expect every process). Fetching replicated
+    arrays is process-local and safe on every host; eval then runs
+    independently (and identically) per process on local devices. Only used
+    when process_count > 1 — single-process runs keep arrays on device.
+    """
+    if jax.process_count() == 1:
+        return state
+    return state.replace(
+        params=jax.device_get(state.params),
+        memory_bank=np.asarray(state.memory_bank),
+        prototypes=np.asarray(state.prototypes),
+    )
+
+
+def evaluate_zero_shot(
+    state: TrainState,
+    cfg: CLIPConfig,
+    val_dataset: FlatFileDataset,
+    batch_size: int,
+    *,
+    method: str = "ours",
+    tokenizer=None,
+    classnames: Optional[Sequence[str]] = None,
+    templates=None,
+) -> Dict[str, float]:
+    """Epoch zero-shot eval with the reference's classifier dispatch:
+
+    * ``ours`` (LatteCLIP): the prototype memory bank IS the classifier
+      (reference ``zero_shot.py:139-145``);
+    * ``flyp``/``flyp_gt``: rebuild the template classifier from the
+      CURRENT text tower every eval (reference ``zero_shot.py:117-137``) —
+      FLYP fine-tunes the text tower but never updates the bank, so the
+      bank would be a classifier frozen at initialization.
+    """
+    state = _host_local_eval_state(state)
+    if method in ("flyp", "flyp_gt"):
+        from latteclip_tpu.eval.zero_shot import build_zero_shot_classifier
+
+        assert tokenizer is not None and classnames is not None and templates is not None
+        classifier = build_zero_shot_classifier(
+            state.params, cfg, tokenizer, classnames, templates
+        )
+    else:
+        classifier = prototype_classifier(state.memory_bank)
+    return run_zero_shot_eval(
+        state.params, cfg, classifier,
+        iter_batches(val_dataset, batch_size, pad_final=True),
+    )
+
+
+# Backwards-compatible alias (round-1 name; prototype classifier only).
 def evaluate_prototype_zero_shot(
     state: TrainState,
     cfg: CLIPConfig,
     val_dataset: FlatFileDataset,
     batch_size: int,
 ) -> Dict[str, float]:
-    classifier = prototype_classifier(state.memory_bank)
-    return run_zero_shot_eval(
-        state.params, cfg, classifier,
-        iter_batches(val_dataset, batch_size, pad_final=True),
-    )
+    return evaluate_zero_shot(state, cfg, val_dataset, batch_size, method="ours")
 
 
 def save_epoch_checkpoint(
@@ -121,8 +167,19 @@ def train(
     start_epoch: int = 0,
     seed: int = 0,
     mesh=None,
+    tokenizer=None,
+    templates=None,
+    val_pairs_dataset=None,
+    imagenet_val_dataset=None,
 ) -> TrainState:
-    """Run the full fine-tune; returns the final state."""
+    """Run the full fine-tune; returns the final state.
+
+    Multi-host note: the eval and checkpoint sections run identical
+    process-local work on EVERY process (replicated arrays are fetched to
+    host first, see :func:`_host_local_eval_state`); only the master writes
+    logs/files. No jitted computation over globally-committed arrays happens
+    on a subset of processes, so no collective can deadlock.
+    """
     mesh = mesh or make_mesh()
     sharded_step = make_sharded_train_step(step_fn, mesh)
     state = replicate(state, mesh)
@@ -159,13 +216,53 @@ def train(
             val_dataset is not None
             and loop_cfg.zeroshot_frequency
             and (completed % loop_cfg.zeroshot_frequency == 0 or completed == loop_cfg.epochs)
-            and is_master
         ):
-            eval_metrics = evaluate_prototype_zero_shot(state, cfg, val_dataset, loop_cfg.eval_batch_size)
-            logger.info("Eval Epoch: %d %s", completed, {k: round(v, 4) for k, v in eval_metrics.items()})
-            append_results_jsonl(results_path, {"epoch": completed, **eval_metrics})
+            # every process evaluates (identically); master logs
+            eval_metrics = evaluate_zero_shot(
+                state, cfg, val_dataset, loop_cfg.eval_batch_size,
+                method=loop_cfg.method, tokenizer=tokenizer,
+                classnames=classnames, templates=templates,
+            )
+            if val_pairs_dataset is not None:
+                from latteclip_tpu.eval.retrieval import evaluate_val_pairs
+
+                eval_metrics.update(
+                    evaluate_val_pairs(
+                        _host_local_eval_state(state).params, cfg,
+                        val_pairs_dataset, batch_size=loop_cfg.eval_batch_size,
+                    )
+                )
+            if imagenet_val_dataset is not None and tokenizer is not None:
+                # reference zero_shot_eval's imagenet branch (zero_shot.py:
+                # 117-137): template classifier from the CURRENT text tower
+                from latteclip_tpu.eval.imagenet_metadata import (
+                    imagenet_classnames,
+                    openai_imagenet_templates,
+                )
+                from latteclip_tpu.eval.zero_shot import (
+                    build_zero_shot_classifier,
+                    run_zero_shot_eval,
+                )
+
+                est = _host_local_eval_state(state)
+                in_classifier = build_zero_shot_classifier(
+                    est.params, cfg, tokenizer,
+                    imagenet_classnames(), openai_imagenet_templates(),
+                )
+                in_metrics = run_zero_shot_eval(
+                    est.params, cfg, in_classifier,
+                    iter_batches(imagenet_val_dataset, loop_cfg.eval_batch_size, pad_final=True),
+                )
+                eval_metrics.update(
+                    {f"imagenet-zeroshot-val-{k}": v for k, v in in_metrics.items()}
+                )
+            if is_master:
+                logger.info("Eval Epoch: %d %s", completed, {k: round(v, 4) for k, v in eval_metrics.items()})
+                append_results_jsonl(results_path, {"epoch": completed, **eval_metrics})
 
         if is_master and loop_cfg.save_frequency and (completed % loop_cfg.save_frequency == 0 or completed == loop_cfg.epochs):
+            # np.asarray / device_get on replicated arrays is process-local
+            # (no collective), so master-only saving cannot deadlock
             save_epoch_checkpoint(state, cfg, classnames, loop_cfg, completed)
 
     return state

@@ -297,7 +297,25 @@ def main(argv=None) -> int:
         save_frequency=args.save_frequency,
         delete_previous_checkpoint=args.delete_previous_checkpoint,
         eval_batch_size=args.eval_batch_size,
+        method=args.method,
     )
+    imagenet_val_dataset = None
+    if args.imagenet_val:
+        from latteclip_tpu.data.folder_dataset import ImageFolderDataset
+
+        imagenet_val_dataset = ImageFolderDataset(
+            args.imagenet_val, image_size=cfg.vision.image_size,
+            dataset_name="imagenet",
+        )
+    val_pairs_dataset = None
+    if args.val_data:
+        from latteclip_tpu.data.folder_dataset import CsvDataset
+
+        val_pairs_dataset = CsvDataset(
+            args.val_data, img_key=args.csv_img_key,
+            caption_key=args.csv_caption_key, sep=args.csv_separator,
+            image_size=cfg.vision.image_size,
+        )
     mesh = make_mesh(model_parallelism=args.model_parallelism)
     loop_mod.train(
         state, step_fn, pipeline, cfg, loop_cfg,
@@ -306,6 +324,10 @@ def main(argv=None) -> int:
         start_epoch=start_epoch,
         seed=args.seed,
         mesh=mesh,
+        tokenizer=tokenizer,
+        templates=templates,
+        val_pairs_dataset=val_pairs_dataset,
+        imagenet_val_dataset=imagenet_val_dataset,
     )
     return 0
 

@@ -25,6 +25,15 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="clip_features_train.pkl from the feature-extraction job")
     p.add_argument("--generated-captions-path", type=str, action="append", default=None)
     p.add_argument("--generated-common-captions-path", type=str, action="append", default=None)
+    p.add_argument("--val-data", type=str, default=None,
+                   help="CSV of (filepath, caption) pairs for val contrastive "
+                        "loss + retrieval R@k (reference train.py:1399-1471)")
+    p.add_argument("--csv-img-key", type=str, default="filepath")
+    p.add_argument("--csv-caption-key", type=str, default="title")
+    p.add_argument("--csv-separator", type=str, default="\t")
+    p.add_argument("--imagenet-val", type=str, default=None,
+                   help="ImageFolder root for ImageNet zero-shot eval "
+                        "(reference data.py:886-916)")
     p.add_argument("--zeroshot-eval-data", type=str, default=None,
                    help="dataset key (dtd, eurosat, ...); resolves templates + classnames")
     p.add_argument("--data-dir", type=str, default=None,
