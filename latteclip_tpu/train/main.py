@@ -250,9 +250,20 @@ def main(argv=None) -> int:
     )
     table = build_template_table(tokenizer, classnames, templates)
     if args.method == "ours":
+        if args.siglip:
+            raise SystemExit("--siglip applies to the contrastive baseline "
+                             "paths (--method flyp/flyp_gt), matching the "
+                             "reference's create_loss wiring")
         step_fn = make_train_step(cfg, optimizer, hp, table)
     else:
-        step_fn = make_flyp_step(cfg, optimizer, hp, table, use_gt=(args.method == "flyp_gt"))
+        if args.siglip and "logit_bias" not in params:
+            # reference SigLIP configs carry init_logit_bias (-10); inject it
+            # when fine-tuning a CLIP checkpoint with the sigmoid loss
+            params = dict(params, logit_bias=jnp.asarray(-10.0, jnp.float32))
+        step_fn = make_flyp_step(
+            cfg, optimizer, hp, table,
+            use_gt=(args.method == "flyp_gt"), use_siglip=args.siglip,
+        )
 
     state = create_train_state(params, optimizer, bank)
 

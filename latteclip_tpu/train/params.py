@@ -82,6 +82,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--lock-text", action="store_true", default=False)
     p.add_argument("--lock-text-unlocked-groups", type=int, default=0)
 
+    p.add_argument("--siglip", action="store_true", default=False,
+                   help="train the flyp/flyp_gt path with the SigLIP sigmoid "
+                        "loss (reference factory.py:337-341, loss.py:365-560)")
     # LatteCLIP objective / eval method
     p.add_argument("--method", type=str, default="ours",
                    choices=["ours", "flyp", "flyp_gt", "tpt", "rlcf"])

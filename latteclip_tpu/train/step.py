@@ -226,7 +226,8 @@ def make_train_step(
 # FLYP baseline (train_one_epoch_original_clip, train.py:76-284)
 # ---------------------------------------------------------------------------
 
-def flyp_loss_fn(params, cfg, hp, batch, images, template_table, use_gt: bool):
+def flyp_loss_fn(params, cfg, hp, batch, images, template_table, use_gt: bool,
+                 use_siglip: bool = False):
     image_features = clip_mod.encode_image(params, cfg, images, normalize=True, remat=hp.remat)
     labels = batch["gt_labels"] if use_gt else batch["zs_preds"]
     # encode unique class templates once, gather rows (gradient-identical)
@@ -235,7 +236,17 @@ def flyp_loss_fn(params, cfg, hp, batch, images, template_table, use_gt: bool):
     )
     text_features = class_text_feats[labels]
     logit_scale = jnp.exp(params["logit_scale"])
-    loss = clip_loss(image_features, text_features, logit_scale)
+    if use_siglip:
+        # reference create_loss --siglip branch (factory.py:337-341 ->
+        # loss.py:365-560); full-matrix form is GSPMD-safe under the mesh,
+        # the ring variant (objective.siglip_ring_loss) is value+grad
+        # equivalent (tested on 8 devices)
+        from latteclip_tpu.train.objective import siglip_full_loss
+
+        logit_bias = params.get("logit_bias", jnp.asarray(-10.0))
+        loss = siglip_full_loss(image_features, text_features, logit_scale, logit_bias)
+    else:
+        loss = clip_loss(image_features, text_features, logit_scale)
     return loss, {"loss": loss, "contrastive_loss": loss, "logit_scale": logit_scale}
 
 
@@ -246,6 +257,7 @@ def make_flyp_step(
     template_table: jnp.ndarray,
     use_gt: bool = False,
     aug: Optional[T.AugConfig] = None,
+    use_siglip: bool = False,
 ):
     aug = aug or T.AugConfig()
     template_table = jnp.asarray(template_table)
@@ -257,7 +269,7 @@ def make_flyp_step(
             images = T.normalize_images(batch["images"])
         grad_fn = jax.value_and_grad(flyp_loss_fn, has_aux=True)
         (loss, metrics), grads = grad_fn(
-            state.params, cfg, hp, batch, images, template_table, use_gt
+            state.params, cfg, hp, batch, images, template_table, use_gt, use_siglip
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -212,3 +212,35 @@ def test_flyp_step_runs(setup):
     state1, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state1.step) == 1
+
+
+def test_flyp_siglip_step_trains(setup):
+    """--siglip end-to-end: the flyp step with the sigmoid loss runs and
+    updates params (reference create_loss --siglip wiring,
+    factory.py:337-341)."""
+    params, tok, bank, table, opt, state = setup
+    rng = np.random.default_rng(3)
+    step = jax.jit(make_flyp_step(
+        TINY, opt, LatteHParams(augment=False), table, use_siglip=True
+    ))
+    s1, m1 = step(state, _batch(rng), jax.random.PRNGKey(0))
+    s2, m2 = step(s1, _batch(rng), jax.random.PRNGKey(1))
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    delta = max(
+        float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(s2.params),
+        )
+    )
+    assert delta > 0.0
+    # sigmoid loss differs from InfoNCE on the same batch
+    step_clip = jax.jit(make_flyp_step(
+        TINY, opt, LatteHParams(augment=False), table, use_siglip=False
+    ))
+    rng2 = np.random.default_rng(3)
+    b = _batch(rng2)
+    _, mc = step_clip(state, b, jax.random.PRNGKey(0))
+    rng3 = np.random.default_rng(3)
+    _, ms = step(state, _batch(rng3), jax.random.PRNGKey(0))
+    assert abs(float(mc["loss"]) - float(ms["loss"])) > 1e-4
