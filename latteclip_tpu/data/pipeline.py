@@ -86,6 +86,7 @@ class LatteCLIPTrainData:
     group_tokens: Dict[str, np.ndarray]       # image_id -> group caption tokens
     class_to_image_ids: Dict[int, List[str]]  # pseudo-class id -> donor ids
     gt_label: Dict[str, int]                  # image_id -> gt id (from metadata)
+    gt_text_tokens: Optional[np.ndarray] = None  # [C, ctx] tokenized classnames
 
 
 def build_train_data(
@@ -111,6 +112,7 @@ def build_train_data(
         class_to_image_ids.setdefault(cid, []).append(image_id)
 
     per_image = [load_caption_tokens(d, tokenizer) for d in caption_dirs]
+    gt_text_tokens = tokenizer([c.lower() for c in class_names])
     group: Dict[str, np.ndarray] = {}
     if common_caption_dirs:
         # reference uses the first common-caption dir only (data.py:424)
@@ -123,6 +125,7 @@ def build_train_data(
         per_image_tokens=per_image,
         group_tokens=group,
         class_to_image_ids=class_to_image_ids,
+        gt_text_tokens=gt_text_tokens,
         gt_label={},
     )
 
@@ -147,6 +150,9 @@ class PipelineConfig:
     # PIL bicubic — eval always uses the PIL path for parity); ~1.3-1.7x the
     # PIL path per image on one core, more on large images.
     use_native_jpeg: bool = False
+    # Replace the per-image caption with the lowercased ground-truth
+    # classname (reference --train-with-gt-text, data.py:476-477; debugging)
+    train_with_gt_text: bool = False
 
 
 class TrainPipeline:
@@ -240,6 +246,10 @@ class TrainPipeline:
                 gt = self.data.class_names.index(gt_name) if gt_name in self.data.class_names else -1
             except Exception:
                 gt = -1
+        if self.cfg.train_with_gt_text and gt >= 0 and self.data.gt_text_tokens is not None:
+            # reference --train-with-gt-text: the caption becomes the
+            # lowercased gt classname (data.py:476-477)
+            per_image = self.data.gt_text_tokens[gt]
         return {
             "image": arr,
             "per_image_tokens": per_image,

@@ -82,3 +82,25 @@ class RemoteSync:
     def final_sync(self) -> bool:
         self._stop.set()
         return sync_dir(self.local_dir, self.remote_dir)
+
+
+def pt_load_path(path: str, cache_dir: Optional[str] = None) -> str:
+    """Resolve a possibly-remote checkpoint path to a local file for loading
+    (reference ``file_utils.py:69-75`` pt_load). s3:// paths are fetched
+    with ``aws s3 cp`` into ``cache_dir`` (or a temp dir); local paths pass
+    through unchanged."""
+    if not path.startswith("s3://"):
+        return path
+    import tempfile
+
+    cache_dir = cache_dir or tempfile.mkdtemp(prefix="latteclip_s3_")
+    os.makedirs(cache_dir, exist_ok=True)
+    local = os.path.join(cache_dir, os.path.basename(path))
+    result = subprocess.run(
+        ["aws", "s3", "cp", path, local], capture_output=True, text=True
+    )
+    if result.returncode != 0:
+        raise FileNotFoundError(
+            f"could not fetch {path}: {result.stderr.strip()[-500:]}"
+        )
+    return local

@@ -83,7 +83,9 @@ def build_model(args):
     if args.force_quick_gelu:
         cfg = dataclasses.replace(cfg, quick_gelu=True)
     if args.pretrained:
-        params, bank_dict, _meta = ckpt.load_clip_pt(args.pretrained, cfg)
+        from latteclip_tpu.obs.file_sync import pt_load_path
+
+        params, bank_dict, _meta = ckpt.load_clip_pt(pt_load_path(args.pretrained), cfg)
         logger.info("loaded pretrained weights from %s", args.pretrained)
     else:
         params = clip_mod.init_clip_params(jax.random.PRNGKey(args.seed), cfg)
@@ -211,6 +213,24 @@ def main(argv=None) -> int:
 
     data = build_train_data(train_shards, clip_pred, caption_dirs, common_dirs,
                             classnames, tokenizer)
+
+    # ---- fusion-weight analysis mode (reference main.py:467-468) ------------
+    if args.extract_group_weight_path:
+        from latteclip_tpu.eval.group_weights import extract_group_weights
+        from latteclip_tpu.train.state import init_memory_bank as _init_bank
+
+        if bank_dict and all(c in bank_dict for c in classnames):
+            gw_bank = np.stack([bank_dict[c] for c in classnames])
+        else:
+            gw_bank = _init_bank(params, cfg, tokenizer, classnames, templates)
+        extract_group_weights(
+            params, cfg, data, np.asarray(gw_bank), templates, tokenizer,
+            args.extract_group_weight_path,
+            batch_size=args.batch_size, image_size=cfg.vision.image_size,
+        )
+        logger.info("group weights written to %s", args.extract_group_weight_path)
+        return 0
+
     pipe_cfg = PipelineConfig(
         batch_size=args.batch_size,
         image_size=cfg.vision.image_size,
@@ -218,6 +238,8 @@ def main(argv=None) -> int:
         num_threads=args.workers,
         host_index=jax.process_index(),
         host_count=jax.process_count(),
+        use_native_jpeg=args.use_native_jpeg,
+        train_with_gt_text=args.train_with_gt_text,
     )
     pipeline = TrainPipeline(data, pipe_cfg, num_samples)
     total_steps = pipeline.steps_per_epoch * args.epochs
@@ -272,7 +294,9 @@ def main(argv=None) -> int:
     if args.resume:
         path = find_latest_checkpoint(checkpoint_dir) if args.resume == "latest" else args.resume
         if path:
-            r_params, r_bank, r_meta = ckpt.load_clip_pt(path, cfg)
+            from latteclip_tpu.obs.file_sync import pt_load_path
+
+            r_params, r_bank, r_meta = ckpt.load_clip_pt(pt_load_path(path), cfg)
             r_bank_arr = (
                 np.stack([r_bank[c] for c in classnames])
                 if r_bank and all(c in r_bank for c in classnames)
@@ -327,6 +351,16 @@ def main(argv=None) -> int:
             caption_key=args.csv_caption_key, sep=args.csv_separator,
             image_size=cfg.vision.image_size,
         )
+    remote_sync = None
+    if args.remote_sync and jax.process_index() == 0:
+        from latteclip_tpu.obs.file_sync import RemoteSync
+
+        remote_sync = RemoteSync(
+            log_dir, os.path.join(args.remote_sync, name),
+            frequency_s=args.remote_sync_frequency,
+        ).start()
+        logger.info("remote sync -> %s every %ds", args.remote_sync, args.remote_sync_frequency)
+
     mesh = make_mesh(model_parallelism=args.model_parallelism)
     loop_mod.train(
         state, step_fn, pipeline, cfg, loop_cfg,
@@ -340,6 +374,8 @@ def main(argv=None) -> int:
         val_pairs_dataset=val_pairs_dataset,
         imagenet_val_dataset=imagenet_val_dataset,
     )
+    if remote_sync is not None:
+        remote_sync.final_sync()
     return 0
 
 

@@ -82,6 +82,19 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--lock-text", action="store_true", default=False)
     p.add_argument("--lock-text-unlocked-groups", type=int, default=0)
 
+    p.add_argument("--extract-group-weight-path", type=str, default=None,
+                   help="write per-image fusion-weight pkls and exit "
+                        "(reference params.py:247-251, main.py:467-468)")
+    p.add_argument("--train-with-gt-text", action="store_true", default=False,
+                   help="replace the per-image caption with the lowercased "
+                        "gt classname (reference data.py:476-477; debugging)")
+    p.add_argument("--use-native-jpeg", action="store_true", default=False,
+                   help="native fused JPEG decode+crop+resize for train "
+                        "augmentation (latteclip_tpu/native)")
+    p.add_argument("--remote-sync", type=str, default=None,
+                   help="remote dir (s3:// or mounted path) to mirror the "
+                        "run dir into (reference file_utils.py:54-61)")
+    p.add_argument("--remote-sync-frequency", type=int, default=300)
     p.add_argument("--siglip", action="store_true", default=False,
                    help="train the flyp/flyp_gt path with the SigLIP sigmoid "
                         "loss (reference factory.py:337-341, loss.py:365-560)")

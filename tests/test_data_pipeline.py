@@ -156,3 +156,29 @@ def test_native_jpeg_pipeline(fixture_root):
     b = batches[0]
     assert b["images"].shape == (8, 64, 64, 3) and b["images"].dtype == np.uint8
     assert b["images"].std() > 1.0  # actual image content, not zeros
+
+
+def test_train_with_gt_text_replaces_caption(fixture_root):
+    """--train-with-gt-text: the per-image caption stream becomes the
+    tokenized lowercased gt classname (reference data.py:476-477)."""
+    tok = get_tokenizer()
+    class_names = [c.lower().replace("_", " ") for c in DEFAULT_CLASSES]
+    data = build_train_data(
+        os.path.join(fixture_root, "webdataset", "train_tars"),
+        os.path.join(fixture_root, "clip_features_train.pkl"),
+        [os.path.join(fixture_root, "captions_per_image")],
+        [os.path.join(fixture_root, "captions_per_group")],
+        class_names,
+        tok,
+    )
+    pipe = TrainPipeline(
+        data,
+        PipelineConfig(batch_size=8, image_size=64, num_threads=2, train_with_gt_text=True),
+        num_samples=24,
+    )
+    b = next(iter(pipe.epoch(0)))
+    gt_table = tok([c.lower() for c in class_names])
+    for row in range(8):
+        gt = int(b["gt_labels"][row])
+        assert gt >= 0
+        np.testing.assert_array_equal(b["per_image_tokens"][row], gt_table[gt])
