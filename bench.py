@@ -9,8 +9,10 @@ update) — the reference's own throughput formula
 ``vs_baseline`` compares against the estimated reference throughput on its
 own hardware (V100-32G, ViT-B/16, global batch 512, AMP fp16, grad
 checkpointing — the configuration pinned by the run scripts; see
-BASELINE.md). The repo publishes no number, so BASELINE.md pins the estimate
-at 330 img/s and records our measurements as they land.
+BASELINE.md). The repo publishes no number, so BASELINE.md pins per-config
+estimates (330 img/s at ViT-B/16, 596 at ViT-B/32, one shared utilization
+assumption scaled by per-image step FLOPs) and records our measurements as
+they land.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -22,7 +24,15 @@ import time
 
 import numpy as np
 
-REFERENCE_V100_IMG_PER_SEC = 330.0  # estimated; see BASELINE.md
+# Per-config V100 baseline estimates (see BASELINE.md "Baseline methodology").
+# Both derive from ONE utilization assumption: the round-1 ViT-B/16 estimate
+# of 330 img/s, scaled by each config's per-image training FLOPs in the
+# reference's own v2 step (image fwd + FOUR text encodes, grad-checkpointing
+# on both towers = 4x fwd FLOPs): B/16 ~236 GF/img, B/32 ~130 GF/img.
+REFERENCE_V100_IMG_PER_SEC = {
+    "ViT-B-16": 330.0,
+    "ViT-B-32": 596.0,  # 330 * (236/130); optimistic for the V100 (smaller matmuls)
+}
 
 MODEL = "ViT-B-16"
 BATCH = 512
@@ -84,11 +94,12 @@ def run(model: str = MODEL, batch: int = BATCH, remat: bool = False) -> dict:
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * MEASURE_STEPS / dt
+    baseline = REFERENCE_V100_IMG_PER_SEC.get(model, REFERENCE_V100_IMG_PER_SEC[MODEL])
     return {
         "metric": f"finetune_images_per_sec_per_chip_{model.replace('-', '').lower()}",
         "value": round(imgs_per_sec, 2),
         "unit": "images/s/chip",
-        "vs_baseline": round(imgs_per_sec / REFERENCE_V100_IMG_PER_SEC, 3),
+        "vs_baseline": round(imgs_per_sec / baseline, 3),
     }
 
 

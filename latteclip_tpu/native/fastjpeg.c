@@ -62,8 +62,11 @@ static PyObject *decode_crop_resize(PyObject *self, PyObject *args) {
 
   struct jpeg_decompress_struct cinfo;
   fj_error_mgr jerr;
-  uint8_t *pixels = NULL;
-  PyObject *result = NULL;
+  /* volatile: live across setjmp/longjmp — without it the error path's
+   * free(pixels) may read a register-cached (indeterminate) value (C11
+   * 7.13.2.1p2) */
+  uint8_t *volatile pixels = NULL;
+  PyObject *volatile result = NULL;
 
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = fj_error_exit;

@@ -269,6 +269,7 @@ def main(argv=None) -> int:
         use_zeroshot_pseudolabel=args.use_zeroshot_pseudolabel,
         use_finetune_pseudolabel=args.use_finetune_pseudolabel,
         remat=args.grad_checkpointing,
+        bug_compat=args.fusion_bug_compat,
     )
     table = build_template_table(tokenizer, classnames, templates)
     if args.method == "ours":

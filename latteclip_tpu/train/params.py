@@ -117,6 +117,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--use-batch-caption", type=float, default=1.0)
     p.add_argument("--use-zeroshot-pseudolabel", type=float, default=1.0)
     p.add_argument("--use-finetune-pseudolabel", type=float, default=1.0)
+    p.add_argument(
+        "--fusion-bug-compat", action="store_true", default=False,
+        help="replay the reference's two latent fusion bugs bit-for-bit "
+        "(requires batch == embed_dim; see train/step.py::fuse_text_streams)",
+    )
     p.add_argument("--text-type", type=str, default="concat")  # accepted for parity
 
     # bookkeeping

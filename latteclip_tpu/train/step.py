@@ -10,7 +10,8 @@ loop (``src/training/train.py:358-565``) as a single pure function:
      reference's four separate ``encode_text`` calls (train.py:437-442);
   4. confidence-weighted caption fusion (top1−top2 margin vs the epoch
      prototypes, gated by use_{template,image,batch}_caption —
-     train.py:444-484);
+     train.py:444-484; two latent reference bugs are fixed by default and
+     replayable via ``bug_compat`` — see ``fuse_text_streams``);
   5. prototype anchoring ``proto + α (fused − proto)`` (train.py:487-488);
   6. two symmetric InfoNCE losses (fine-tune + zero-shot branches,
      train.py:491-504);
@@ -58,6 +59,7 @@ class LatteHParams:
     use_finetune_pseudolabel: float = 1.0
     remat: bool = False                 # grad checkpointing (off: TPU HBM fits)
     augment: bool = True
+    bug_compat: bool = False            # replay the reference's fusion quirks (below)
 
 
 def _fuse(
@@ -70,6 +72,64 @@ def _fuse(
         + w_grp[:, None] * per_grp_f
     )
     return fused / total[:, None]
+
+
+def fuse_text_streams(
+    label_f, label_zs_f, per_img_f, per_grp_f,
+    w_label_g, w_label_zs_g, w_img_g, w_grp_g,
+    bug_compat: bool = False,
+):
+    """Confidence-weighted caption fusion for both branches (train.py:469-484).
+
+    DELIBERATE DEVIATION from the reference (default ``bug_compat=False``):
+    the reference's fusion block has two latent bugs that we fix by default
+    but can replay exactly with ``bug_compat=True``:
+
+    (a) The label-stream numerator multiplies ``label_text_weight`` ([B])
+        into ``label_text_features`` ([B, E]) WITHOUT ``unsqueeze(1)``
+        (train.py:474, 480) — torch broadcasting aligns trailing axes, so
+        this only runs because the scripts pin batch == embed_dim == 512 and
+        it then scales *embedding dimension j* by *sample j's* weight. The
+        caption streams use ``.unsqueeze(1)`` (per-sample, as intended).
+    (b) The zero-shot branch's numerator reuses the fine-tune branch's
+        ``label_text_weight`` while its denominator uses
+        ``label_text_weight_zeroshot`` (train.py:480 vs 471).
+
+    The intended math (per-sample weights in both numerator and denominator,
+    each branch self-consistent) is the default; the paper's numbers were
+    produced WITH the bugs, so ``--fusion-bug-compat`` exists for bitwise
+    parity experiments against reference-trained checkpoints. ``bug_compat``
+    requires batch == embed_dim, exactly like the reference.
+    (The reference's per-caption *zeroshot* weight variants are value-equal
+    to the fine-tune ones — ``compute_text_weights`` ignores its ``preds``
+    argument — so a single w_img/w_grp serves both branches here.)
+    """
+    if not bug_compat:
+        text_fused = _fuse(label_f, per_img_f, per_grp_f, w_label_g, w_img_g, w_grp_g)
+        text_fused_zs = _fuse(label_zs_f, per_img_f, per_grp_f, w_label_zs_g, w_img_g, w_grp_g)
+        return text_fused, text_fused_zs
+
+    B, E = label_f.shape
+    if B != E:
+        raise ValueError(
+            f"bug_compat fusion requires batch == embed_dim (got {B} vs {E}); "
+            "the reference's unbatched broadcast only runs at 512==512"
+        )
+    total = w_label_g + w_img_g + w_grp_g
+    total_zs = w_label_zs_g + w_img_g + w_grp_g
+    # (a): label weights broadcast along the EMBEDDING axis ([None, :])
+    text_fused = (
+        label_f * w_label_g[None, :]
+        + w_img_g[:, None] * per_img_f
+        + w_grp_g[:, None] * per_grp_f
+    ) / total[:, None]
+    # (b): zs numerator uses the FT label weight, zs denominator the zs one
+    text_fused_zs = (
+        label_zs_f * w_label_g[None, :]
+        + w_img_g[:, None] * per_img_f
+        + w_grp_g[:, None] * per_grp_f
+    ) / total_zs[:, None]
+    return text_fused, text_fused_zs
 
 
 def latteclip_loss_fn(
@@ -122,8 +182,10 @@ def latteclip_loss_fn(
     w_label_g = w_label * hp.use_template_caption
     w_label_zs_g = w_label_zs * hp.use_template_caption
 
-    text_fused = _fuse(label_f, per_img_f, per_grp_f, w_label_g, w_img_g, w_grp_g)
-    text_fused_zs = _fuse(label_zs_f, per_img_f, per_grp_f, w_label_zs_g, w_img_g, w_grp_g)
+    text_fused, text_fused_zs = fuse_text_streams(
+        label_f, label_zs_f, per_img_f, per_grp_f,
+        w_label_g, w_label_zs_g, w_img_g, w_grp_g, hp.bug_compat,
+    )
 
     # prototype anchoring (train.py:487-488)
     anchor = memory_bank[preds]

@@ -244,3 +244,155 @@ def test_flyp_siglip_step_trains(setup):
     rng3 = np.random.default_rng(3)
     _, ms = step(state, _batch(rng3), jax.random.PRNGKey(0))
     assert abs(float(mc["loss"]) - float(ms["loss"])) > 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Reference inner-math oracle (VERDICT round 1, item 8): the fusion block of
+# train_one_epoch_v2 (reference train.py:435-530) re-implemented in torch —
+# including its two latent bugs — run on identical synthetic features against
+# our fused-step math at bs==dim (both bug_compat modes) and bs!=dim.
+# ---------------------------------------------------------------------------
+
+def _torch_reference_fusion(image_f, label_f, label_zs_f, per_img_f, per_grp_f,
+                            bank, prototypes, preds, zs_preds, alpha, scale):
+    """Line-for-line torch port of reference train.py:442-504 from the point
+    where features exist (towers are oracle-tested elsewhere)."""
+    import torch
+    import torch.nn.functional as F
+
+    def weights(tf):  # compute_text_weights, train.py:292-303 (preds unused)
+        w = tf @ prototypes.T
+        top2 = torch.topk(w, 2, dim=1).values
+        return (top2[:, 0] - top2[:, 1]).detach() + 1e-6
+
+    w_img, w_grp = weights(per_img_f), weights(per_grp_f)
+    w_label, w_label_zs = weights(label_f), weights(label_zs_f)
+
+    total = w_label + w_img + w_grp
+    total_zs = w_label_zs + w_img + w_grp
+    # train.py:474-478: label stream WITHOUT unsqueeze(1) (latent bug a)
+    text_features = (w_label * label_f
+                     + per_img_f * w_img.unsqueeze(1)
+                     + per_grp_f * w_grp.unsqueeze(1)) / total.unsqueeze(1)
+    # train.py:480-483: zs numerator reuses w_label (latent bug b)
+    text_features_zs = (w_label * label_zs_f
+                        + per_img_f * w_img.unsqueeze(1)
+                        + per_grp_f * w_grp.unsqueeze(1)) / total_zs.unsqueeze(1)
+
+    anchor, anchor_zs = bank[preds], bank[zs_preds]
+    text_final = anchor + alpha * (text_features - anchor)
+    text_final_zs = anchor_zs + alpha * (text_features_zs - anchor_zs)
+
+    def clip_loss_t(img, txt):  # ClipLoss, reference loss.py:89-130
+        logits = scale * img @ txt.T
+        labels = torch.arange(img.shape[0])
+        return 0.5 * (F.cross_entropy(logits, labels)
+                      + F.cross_entropy(logits.T, labels))
+
+    total_loss = clip_loss_t(image_f, text_final) + clip_loss_t(image_f, text_final_zs)
+    return total_loss, text_final, text_final_zs
+
+
+def _fusion_features(rng, B, E, C=7):
+    def unit(shape):
+        x = rng.standard_normal(shape).astype(np.float32)
+        return x / np.linalg.norm(x, axis=-1, keepdims=True)
+    return {
+        "image_f": unit((B, E)), "label_f": unit((B, E)), "label_zs_f": unit((B, E)),
+        "per_img_f": unit((B, E)), "per_grp_f": unit((B, E)),
+        "bank": unit((C, E)), "prototypes": unit((C, E)),
+        "preds": rng.integers(0, C, size=(B,)), "zs_preds": rng.integers(0, C, size=(B,)),
+    }
+
+
+def _ours_fusion(f, alpha, scale, bug_compat):
+    from latteclip_tpu.train.step import fuse_text_streams
+
+    w_img = text_confidence_weights(jnp.asarray(f["per_img_f"]), jnp.asarray(f["prototypes"])) + 1e-6
+    w_grp = text_confidence_weights(jnp.asarray(f["per_grp_f"]), jnp.asarray(f["prototypes"])) + 1e-6
+    w_label = text_confidence_weights(jnp.asarray(f["label_f"]), jnp.asarray(f["prototypes"])) + 1e-6
+    w_label_zs = text_confidence_weights(jnp.asarray(f["label_zs_f"]), jnp.asarray(f["prototypes"])) + 1e-6
+    fused, fused_zs = fuse_text_streams(
+        jnp.asarray(f["label_f"]), jnp.asarray(f["label_zs_f"]),
+        jnp.asarray(f["per_img_f"]), jnp.asarray(f["per_grp_f"]),
+        w_label, w_label_zs, w_img, w_grp, bug_compat,
+    )
+    anchor = jnp.asarray(f["bank"])[f["preds"]]
+    anchor_zs = jnp.asarray(f["bank"])[f["zs_preds"]]
+    text_final = anchor + alpha * (fused - anchor)
+    text_final_zs = anchor_zs + alpha * (fused_zs - anchor_zs)
+    loss = (clip_loss(jnp.asarray(f["image_f"]), text_final, scale)
+            + clip_loss(jnp.asarray(f["image_f"]), text_final_zs, scale))
+    return loss, text_final, text_final_zs
+
+
+def test_fusion_oracle_bug_compat_matches_reference_at_bs_eq_dim():
+    torch = pytest.importorskip("torch")
+    B = E = 32  # the regime where the reference's broadcast silently "works"
+    f = _fusion_features(np.random.default_rng(11), B, E)
+    alpha, scale = 0.01, 100.0
+    tt = {k: torch.from_numpy(np.asarray(v)) for k, v in f.items()}
+    ref_loss, ref_tf, ref_tfzs = _torch_reference_fusion(
+        tt["image_f"], tt["label_f"], tt["label_zs_f"], tt["per_img_f"],
+        tt["per_grp_f"], tt["bank"], tt["prototypes"], tt["preds"],
+        tt["zs_preds"], alpha, scale,
+    )
+    loss, tf, tfzs = _ours_fusion(f, alpha, scale, bug_compat=True)
+    np.testing.assert_allclose(np.asarray(tf), ref_tf.numpy(), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(tfzs), ref_tfzs.numpy(), atol=2e-6)
+    np.testing.assert_allclose(float(loss), float(ref_loss), atol=1e-5)
+
+    # the intended math deliberately DIFFERS from the reference here
+    loss_fixed, tf_fixed, _ = _ours_fusion(f, alpha, scale, bug_compat=False)
+    assert float(jnp.max(jnp.abs(tf_fixed - jnp.asarray(ref_tf.numpy())))) > 1e-4
+
+
+def test_fusion_oracle_intended_math_at_bs_ne_dim():
+    """At bs != dim the reference would crash (shape mismatch); our intended
+    math runs, and bug_compat correctly refuses."""
+    torch = pytest.importorskip("torch")
+    B, E = 48, 32
+    f = _fusion_features(np.random.default_rng(12), B, E)
+    alpha, scale = 0.01, 100.0
+
+    # torch oracle for the INTENDED math: every weight per-sample, each
+    # branch self-consistent
+    tt = {k: torch.from_numpy(np.asarray(v)) for k, v in f.items()}
+    def weights(tf):
+        top2 = torch.topk(tf @ tt["prototypes"].T, 2, dim=1).values
+        return (top2[:, 0] - top2[:, 1]) + 1e-6
+    w_img, w_grp = weights(tt["per_img_f"]), weights(tt["per_grp_f"])
+    w_label, w_label_zs = weights(tt["label_f"]), weights(tt["label_zs_f"])
+    tf_ref = (w_label.unsqueeze(1) * tt["label_f"]
+              + w_img.unsqueeze(1) * tt["per_img_f"]
+              + w_grp.unsqueeze(1) * tt["per_grp_f"]) / (w_label + w_img + w_grp).unsqueeze(1)
+    tfzs_ref = (w_label_zs.unsqueeze(1) * tt["label_zs_f"]
+                + w_img.unsqueeze(1) * tt["per_img_f"]
+                + w_grp.unsqueeze(1) * tt["per_grp_f"]) / (w_label_zs + w_img + w_grp).unsqueeze(1)
+
+    _, tf, tfzs = _ours_fusion(f, alpha, scale, bug_compat=False)
+    anchor = tt["bank"][f["preds"]]
+    anchor_zs = tt["bank"][f["zs_preds"]]
+    np.testing.assert_allclose(
+        np.asarray(tf), (anchor + alpha * (tf_ref - anchor)).numpy(), atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(tfzs), (anchor_zs + alpha * (tfzs_ref - anchor_zs)).numpy(), atol=2e-6)
+
+    with pytest.raises(ValueError, match="batch == embed_dim"):
+        _ours_fusion(f, alpha, scale, bug_compat=True)
+
+
+def test_bug_compat_step_end_to_end(setup):
+    """A full train step with --fusion-bug-compat at batch == embed_dim runs
+    and differs from the default step."""
+    _params, _tok, _bank, table, opt, state = setup
+    B = TINY.embed_dim  # 32
+    batch = _batch(np.random.default_rng(7), B=B)
+    step_bug = jax.jit(make_train_step(
+        TINY, opt, LatteHParams(augment=False, bug_compat=True), table))
+    step_fix = jax.jit(make_train_step(
+        TINY, opt, LatteHParams(augment=False, bug_compat=False), table))
+    _, mb = step_bug(state, batch, jax.random.PRNGKey(0))
+    _, mf = step_fix(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(mb["loss"])) and np.isfinite(float(mf["loss"]))
+    assert abs(float(mb["loss"]) - float(mf["loss"])) > 1e-7
