@@ -61,6 +61,36 @@ def xla_attention(
     return out.astype(dtype)
 
 
+def attention_core_qkv(
+    qkv: jnp.ndarray,
+    num_heads: int,
+    causal: bool = False,
+    dtype: jnp.dtype = jnp.bfloat16,
+) -> jnp.ndarray:
+    """Fused attention directly on the packed QKV projection output.
+
+    ``qkv``: [B, L, 3*H*D] laid out ``[q | k | v]`` — consumed whole so no
+    slice/concat copies materialize around the kernel (they cost ~930 MB of
+    HBM traffic per ViT-B layer with the 3-tensor interface).
+    """
+    if _pallas_enabled():
+        from latteclip_tpu.kernels.attention import flash_attention_qkv
+
+        return flash_attention_qkv(qkv.astype(dtype), num_heads, causal)
+    B, L, HD3 = qkv.shape
+    HD = HD3 // 3
+    D = HD // num_heads
+    q, k, v = qkv[:, :, :HD], qkv[:, :, HD:2 * HD], qkv[:, :, 2 * HD:]
+    out = xla_attention(
+        q.reshape(B, L, num_heads, D),
+        k.reshape(B, L, num_heads, D),
+        v.reshape(B, L, num_heads, D),
+        causal,
+        dtype=dtype,
+    )
+    return out.reshape(B, L, HD)
+
+
 def attention_core(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -4,21 +4,32 @@ The CLIP workloads are many-heads × short-sequence (vision 50/197/577
 tokens, text 77), batch-dominated — the opposite regime of LM flash kernels
 that tile long sequences. Design:
 
-* the kernel consumes the **natural projection layout** ``[B, L, H*D]``
-  (exactly what the fused QKV matmul produces) and slices heads along the
-  lane dimension inside the kernel — there are NO host-side transposes or
-  pad copies at all (those dominated an earlier [B,H,L,D] variant: 6×300 MB
-  of pure data movement per ViT-B layer);
+* the kernel consumes the **fused projection output directly**: one
+  ``[B, L, 3*H*D]`` tensor laid out ``[q | k | v]`` — exactly what the QKV
+  matmul produces. Heads and streams are sliced along the lane dimension
+  inside the kernel, so there are NO host-side slice/concat copies at all
+  (profiling showed the previous 3-tensor interface cost ~930 MB of pure
+  data movement per ViT-B layer in fwd + the mirror concat in bwd);
 * one head's full scores fit in VMEM, so there is no online-softmax tiling;
   the grid packs ``G`` batch rows per program and loops heads statically,
   with batched dot_general over G keeping the MXU fed;
+* softmax runs in the **base-2 domain**: the kernel folds
+  ``head_scale * log2(e)`` into the q tile (a [G,L,D] pass instead of
+  [G,L,L]), takes one max pass, and emits ``exp2(s2 - m2)`` directly as
+  bfloat16 — roughly halving the VPU passes over the [L, L] score tile that
+  dominated the forward kernel (measured 22 TF/s -> the MXU work is ~7% of
+  step FLOPs but the old softmax made attention ~11% of step time);
 * masks (causal + implicit length) are synthesised from iota — nothing
   streamed from HBM;
-* forward stores the output plus per-(row, head) logsumexp; the O(B·H·L²)
-  softmax probabilities the XLA path keeps for backward (~28 GB at ViT-B/16
-  bs512) never exist in HBM;
-* backward recomputes probabilities from (q, k, lse) and emits dq/dk/dv in
-  one fused kernel.
+* forward stores the output plus per-(row, head) base-2 logsumexp
+  ``[B, H, L]``; the O(B·H·L²) softmax
+  probabilities the XLA path keeps for backward (~28 GB at ViT-B/16 bs512)
+  never exist in HBM;
+* backward recomputes probabilities from (qkv, lse2) and emits one fused
+  ``[B, L, 3*H*D]`` gradient; the softmax-Jacobian correction uses
+  ``delta = sum(do * o)`` over the saved normalized output (a [G,L,D] pass
+  per head instead of the [G,L,L] ``sum(p * dp)`` form) — ``o`` is free as a
+  residual because the remat policy pins ``flash_out`` anyway.
 
 Numerics match the XLA reference path (``kernels.xla_attention``): bf16
 matmul inputs, f32 score accumulation + softmax. ``tests/test_kernels.py``
@@ -28,6 +39,7 @@ and compiled on TPU.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -35,172 +47,220 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
+LOG2E = math.log2(math.e)
 
 _QKT = (((2,), (2,)), ((0,), (0,)))    # [G,Lq,D] x [G,Lk,D] -> [G,Lq,Lk]
 _PV = (((2,), (1,)), ((0,), (0,)))     # [G,Lq,Lk] x [G,Lk,D] -> [G,Lq,D]
 _PT_DO = (((1,), (1,)), ((0,), (0,)))  # [G,Lq,Lk] x [G,Lq,D] -> [G,Lk,D]
 
-_VMEM_BUDGET = 10 * 1024 * 1024  # headroom under the 16M scoped limit
+_VMEM_BUDGET = 12 * 1024 * 1024  # headroom under the ~16M scoped limit
 
 
-def _fwd_bytes(g: int, l: int, hd: int, d: int) -> int:
-    # tiles q/k/v/o [G,L,HD] + per-head s,p f32 + pb bf16
-    return g * (4 * l * hd * 2 + 2 * l * l * 4 + l * l * 2)
+def _fwd_bytes(g: int, l: int, hd: int) -> int:
+    # double-buffered io tiles (qkv in, o out) + per-head s f32 + pb bf16
+    return g * (2 * (3 * l * hd * 2 + l * hd * 2) + l * l * 4 + l * l * 2)
 
 
-def _bwd_bytes(g: int, l: int, hd: int, d: int) -> int:
-    # tiles q/k/v/do [G,L,HD] bf16 + dq/dk/dv f32 + s,p,dp f32 + pb,ds bf16
-    return g * (4 * l * hd * 2 + 3 * l * hd * 4 + 3 * l * l * 4 + 2 * l * l * 2)
+def _bwd_bytes(g: int, l: int, hd: int) -> int:
+    # double-buffered io tiles (qkv, do, o in; dqkv out) + s,dp,p f32 + pb,ds bf16
+    return g * (2 * (3 * l * hd * 2 + 2 * l * hd * 2 + 3 * l * hd * 2)
+                + 3 * l * l * 4 + 2 * l * l * 2)
 
 
-def _group_size(b: int, l: int, hd: int, d: int, cost_fn) -> int:
-    for g in (8, 4, 2):
-        if b % g == 0 and cost_fn(g, l, hd, d) <= _VMEM_BUDGET:
+def _group_size(b: int, l: int, hd: int, cost_fn) -> int:
+    for g in (16, 8, 4, 2):
+        if cost_fn(g, l, hd) <= _VMEM_BUDGET:
             return g
     return 1
 
 
+def _pad_rows(x: jnp.ndarray, g: int) -> jnp.ndarray:
+    b = x.shape[0]
+    rem = b % g
+    if rem == 0:
+        return x
+    return jnp.pad(x, ((0, g - rem),) + ((0, 0),) * (x.ndim - 1))
+
+
 def _causal_bias(L: int) -> jnp.ndarray:
+    # in the base-2 score domain; exp2(-1e9) == 0 and every causal row has
+    # at least the diagonal unmasked, so the running max stays finite
     rows = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
     return jnp.where(cols > rows, NEG_INF, 0.0).astype(jnp.float32)
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, H, D, causal):
-    L = q_ref.shape[1]
+def _fwd_kernel(qkv_ref, o_ref, lse_ref, *, qscale, H, D, causal):
+    L = qkv_ref.shape[1]
+    HD = H * D
     bias = _causal_bias(L)[None] if causal else None
     for h in range(H):
         sl = slice(h * D, (h + 1) * D)
-        q = q_ref[:, :, sl].astype(jnp.bfloat16)   # [G, L, D]
-        k = k_ref[:, :, sl].astype(jnp.bfloat16)
-        v = v_ref[:, :, sl].astype(jnp.bfloat16)
-        s = jax.lax.dot_general(q, k, _QKT, preferred_element_type=jnp.float32)
-        s = s * scale
+        q = qkv_ref[:, :, sl].astype(jnp.float32)           # [G, L, D]
+        k = qkv_ref[:, :, HD + h * D:HD + (h + 1) * D].astype(jnp.bfloat16)
+        v = qkv_ref[:, :, 2 * HD + h * D:2 * HD + (h + 1) * D].astype(jnp.bfloat16)
+        qs = (q * qscale).astype(jnp.bfloat16)              # fold scale*log2e
+        s2 = jax.lax.dot_general(qs, k, _QKT, preferred_element_type=jnp.float32)
         if bias is not None:
-            s = s + bias
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v, _PV, preferred_element_type=jnp.float32
-        ) / l
+            s2 = s2 + bias
+        m2 = jnp.max(s2, axis=-1, keepdims=True)
+        pb = jnp.exp2(s2 - m2).astype(jnp.bfloat16)         # one fused pass
+        l = jnp.sum(pb, axis=-1, keepdims=True, dtype=jnp.float32)
+        o = jax.lax.dot_general(pb, v, _PV, preferred_element_type=jnp.float32) / l
         o_ref[:, :, sl] = o.astype(o_ref.dtype)
-        lse_ref[:, h, :] = m[..., 0] + jnp.log(l[..., 0])
+        lse_ref[:, h, :] = m2[..., 0] + jnp.log2(l[..., 0])  # base-2 lse
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref,
-                dq_ref, dk_ref, dv_ref, *, scale, H, D, causal):
-    L = q_ref.shape[1]
+def _bwd_kernel(qkv_ref, o_ref, do_ref, lse_ref, dqkv_ref, *, qscale, scale, H, D, causal):
+    L = qkv_ref.shape[1]
+    HD = H * D
     bias = _causal_bias(L)[None] if causal else None
     for h in range(H):
         sl = slice(h * D, (h + 1) * D)
-        q = q_ref[:, :, sl].astype(jnp.bfloat16)
-        k = k_ref[:, :, sl].astype(jnp.bfloat16)
-        v = v_ref[:, :, sl].astype(jnp.bfloat16)
+        q = qkv_ref[:, :, sl].astype(jnp.bfloat16)
+        k = qkv_ref[:, :, HD + h * D:HD + (h + 1) * D].astype(jnp.bfloat16)
+        v = qkv_ref[:, :, 2 * HD + h * D:2 * HD + (h + 1) * D].astype(jnp.bfloat16)
+        o = o_ref[:, :, sl].astype(jnp.bfloat16)
         do = do_ref[:, :, sl].astype(jnp.bfloat16)
-        lse = lse_ref[:, h, :]                      # [G, L]
+        lse2 = lse_ref[:, h, :]                             # [G, L]
 
-        s = jax.lax.dot_general(q, k, _QKT, preferred_element_type=jnp.float32)
-        s = s * scale
+        qs = (q.astype(jnp.float32) * qscale).astype(jnp.bfloat16)
+        s2 = jax.lax.dot_general(qs, k, _QKT, preferred_element_type=jnp.float32)
         if bias is not None:
-            s = s + bias
-        p = jnp.exp(s - lse[..., None])             # softmax, recomputed (f32)
+            s2 = s2 + bias
+        p = jnp.exp2(s2 - lse2[..., None])                  # normalized, f32
         pb = p.astype(jnp.bfloat16)
 
         dv = jax.lax.dot_general(pb, do, _PT_DO, preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, _QKT, preferred_element_type=jnp.float32)
-        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+        # delta = rowsum(p * dp) == rowsum(do * o) since p is normalized;
+        # the o form is a [G,L,D] pass instead of [G,L,L]
+        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=-1, keepdims=True)
         ds = (p * (dp - delta) * scale).astype(jnp.bfloat16)
         dq = jax.lax.dot_general(ds, k, _PV, preferred_element_type=jnp.float32)
         dk = jax.lax.dot_general(ds, q, _PT_DO, preferred_element_type=jnp.float32)
-        dq_ref[:, :, sl] = dq.astype(dq_ref.dtype)
-        dk_ref[:, :, sl] = dk.astype(dk_ref.dtype)
-        dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
+        dqkv_ref[:, :, sl] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, HD + h * D:HD + (h + 1) * D] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, 2 * HD + h * D:2 * HD + (h + 1) * D] = dv.astype(dqkv_ref.dtype)
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _flash_fwd_impl(q, k, v, causal: bool, num_heads: int):
-    """q/k/v: [B, L, H*D] packed heads -> (out [B, L, H*D], lse [B, H, L])."""
-    dtype = q.dtype
-    B, L, HD = q.shape
+def _flash_fwd_impl(qkv, causal: bool, num_heads: int):
+    """qkv: [B, L, 3*H*D] packed -> (out [B, L, H*D], lse2 [B, H, L])."""
+    dtype = qkv.dtype
+    B, L, HD3 = qkv.shape
+    HD = HD3 // 3
     D = HD // num_heads
-    G = _group_size(B, L, HD, D, _fwd_bytes)
-    scale = D ** -0.5
+    G = _group_size(B, L, HD, _fwd_bytes)
+    qkv = _pad_rows(qkv, G)
+    Bp = qkv.shape[0]
+    qscale = (D ** -0.5) * LOG2E
 
-    tile = pl.BlockSpec((G, L, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    in_tile = pl.BlockSpec((G, L, HD3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_tile = pl.BlockSpec((G, L, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     lse_spec = pl.BlockSpec((G, num_heads, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     o, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, H=num_heads, D=D, causal=causal),
-        grid=(B // G,),
-        in_specs=[tile, tile, tile],
-        out_specs=[tile, lse_spec],
+        functools.partial(_fwd_kernel, qscale=qscale, H=num_heads, D=D, causal=causal),
+        grid=(Bp // G,),
+        in_specs=[in_tile],
+        out_specs=[out_tile, lse_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((B, L, HD), dtype),
-            jax.ShapeDtypeStruct((B, num_heads, L), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, L, HD), dtype),
+            jax.ShapeDtypeStruct((Bp, num_heads, L), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * num_heads * L * L * D,
-            bytes_accessed=4 * B * L * HD * 2,
-            transcendentals=B * num_heads * L * L,
+            flops=4 * Bp * num_heads * L * L * D,
+            bytes_accessed=4 * Bp * L * HD * 2,
+            transcendentals=Bp * num_heads * L * L,
         ),
         interpret=_interpret(),
-    )(q, k, v)
+    )(qkv)
+    if Bp != B:
+        o, lse = o[:B], lse[:B]
     return o, lse
 
 
 def _make_fa(num_heads: int):
     # lse is a PRIMAL output (not just a residual): under jax.checkpoint with
-    # a policy saving {flash_out, flash_lse}, the residuals (q, k, v, lse)
+    # a policy saving {flash_out, flash_lse}, the residuals (qkv, o, lse)
     # are then all either recomputed upstream or saved, so partial
     # evaluation eliminates the forward kernel from the backward recompute.
-    @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-    def fa(q, k, v, causal=False):
-        return _flash_fwd_impl(q, k, v, causal, num_heads)
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+    def fa(qkv, causal=False):
+        return _flash_fwd_impl(qkv, causal, num_heads)
 
-    def fwd(q, k, v, causal):
+    def fwd(qkv, causal):
         from jax.ad_checkpoint import checkpoint_name
 
-        o, lse = _flash_fwd_impl(q, k, v, causal, num_heads)
+        o, lse = _flash_fwd_impl(qkv, causal, num_heads)
         o = checkpoint_name(o, "flash_out")
         lse = checkpoint_name(lse, "flash_lse")
-        return (o, lse), (q, k, v, lse)
+        return (o, lse), (qkv, o, lse)
 
     def bwd(causal, res, cots):
         g, _g_lse = cots  # lse cotangent is unused (lse feeds no real output)
-        q, k, v, lse = res
-        B, L, HD = q.shape
+        qkv, o, lse = res
+        B, L, HD3 = qkv.shape
+        HD = HD3 // 3
         D = HD // num_heads
-        G = _group_size(B, L, HD, D, _bwd_bytes)
+        G = _group_size(B, L, HD, _bwd_bytes)
+        qkv = _pad_rows(qkv, G)
+        o = _pad_rows(o, G)
+        do = _pad_rows(g.astype(qkv.dtype), G)
+        lse = _pad_rows(lse, G)
+        Bp = qkv.shape[0]
         scale = D ** -0.5
-        tile = pl.BlockSpec((G, L, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        qscale = scale * LOG2E
+        in_tile = pl.BlockSpec((G, L, HD3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        hd_tile = pl.BlockSpec((G, L, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         lse_spec = pl.BlockSpec((G, num_heads, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-        dq, dk, dv = pl.pallas_call(
-            functools.partial(_bwd_kernel, scale=scale, H=num_heads, D=D, causal=causal),
-            grid=(B // G,),
-            in_specs=[tile, tile, tile, tile, lse_spec],
-            out_specs=[tile, tile, tile],
-            out_shape=[
-                jax.ShapeDtypeStruct((B, L, HD), q.dtype),
-                jax.ShapeDtypeStruct((B, L, HD), k.dtype),
-                jax.ShapeDtypeStruct((B, L, HD), v.dtype),
-            ],
+        dqkv = pl.pallas_call(
+            functools.partial(_bwd_kernel, qscale=qscale, scale=scale,
+                              H=num_heads, D=D, causal=causal),
+            grid=(Bp // G,),
+            in_specs=[in_tile, hd_tile, hd_tile, lse_spec],
+            out_specs=in_tile,
+            out_shape=jax.ShapeDtypeStruct((Bp, L, HD3), qkv.dtype),
             cost_estimate=pl.CostEstimate(
-                flops=11 * B * num_heads * L * L * D,
-                bytes_accessed=8 * B * L * HD * 2,
-                transcendentals=B * num_heads * L * L,
+                flops=11 * Bp * num_heads * L * L * D,
+                bytes_accessed=10 * Bp * L * HD * 2,
+                transcendentals=Bp * num_heads * L * L,
             ),
             interpret=_interpret(),
-        )(q, k, v, g.astype(q.dtype), lse)
-        return dq, dk, dv
+        )(qkv, o, do, lse)
+        if Bp != B:
+            dqkv = dqkv[:B]
+        return (dqkv,)
 
     fa.defvjp(fwd, bwd)
     return fa
 
 
 _FA_CACHE = {}
+
+
+def flash_attention_qkv(
+    qkv: jnp.ndarray,
+    num_heads: int,
+    causal: bool = False,
+) -> jnp.ndarray:
+    """Fused attention on the packed QKV projection output.
+
+    ``qkv``: [B, L, 3*H*D] laid out ``[q | k | v]`` along the last axis —
+    the natural output of the fused in-projection. Returns [B, L, H*D].
+
+    The fwd rule tags out/lse with checkpoint names so the remat policy in
+    ``layers.transformer_stack`` can pin them across the boundary (see
+    _make_fa for why that removes the kernel from the backward recompute).
+    """
+    if num_heads not in _FA_CACHE:
+        _FA_CACHE[num_heads] = _make_fa(num_heads)
+    out, _lse = _FA_CACHE[num_heads](qkv, causal)
+    return out
 
 
 def flash_attention_packed(
@@ -210,16 +270,8 @@ def flash_attention_packed(
     num_heads: int,
     causal: bool = False,
 ) -> jnp.ndarray:
-    """Fused attention on packed-head [B, L, H*D] tensors.
-
-    The fwd rule tags out/lse with checkpoint names so the remat policy in
-    ``layers.transformer_stack`` can pin them across the boundary (see
-    _make_fa for why that removes the kernel from the backward recompute).
-    """
-    if num_heads not in _FA_CACHE:
-        _FA_CACHE[num_heads] = _make_fa(num_heads)
-    out, _lse = _FA_CACHE[num_heads](q, k, v, causal)
-    return out
+    """Compatibility wrapper for separate packed-head [B, L, H*D] tensors."""
+    return flash_attention_qkv(jnp.concatenate([q, k, v], axis=-1), num_heads, causal)
 
 
 def flash_attention(

@@ -26,6 +26,16 @@ Params = Dict[str, Any]
 
 LN_EPS = 1e-5
 
+# Which named intermediates per-block remat pins instead of recomputing.
+# Override via LATTECLIP_REMAT_SAVE (comma-separated) — e.g. adding
+# "qkv_proj" trades ~465 MB/layer of HBM (ViT-B/16 bs512) for skipping the
+# LN+QKV GEMM in every backward block.
+import os as _os
+
+REMAT_SAVE_NAMES = tuple(
+    _os.environ.get("LATTECLIP_REMAT_SAVE", "flash_out,flash_lse").split(",")
+)
+
 
 def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
     """LayerNorm with f32 statistics, output cast back to input dtype."""
@@ -70,15 +80,10 @@ def mha(
     Logits and softmax in f32 (AMP-equivalent), value matmul in compute
     dtype; optional causal masking.
     """
-    B, L, D = x.shape
+    from latteclip_tpu.kernels import attention_core_qkv
 
     qkv = dense(x, p["in_proj_w"], p["in_proj_b"], dtype)        # [B, L, 3D]
-    # contiguous packed-head slices: no transpose or reshape copies
-    q, k, v = qkv[:, :, :D], qkv[:, :, D:2 * D], qkv[:, :, 2 * D:]
-
-    from latteclip_tpu.kernels import attention_core
-
-    out = attention_core(q, k, v, num_heads, causal, dtype=dtype)  # [B, L, D]
+    out = attention_core_qkv(qkv, num_heads, causal, dtype=dtype)  # [B, L, D]
     return dense(out, p["out_proj_w"], p["out_proj_b"], dtype)
 
 
@@ -101,13 +106,16 @@ def residual_block(
     The LN→projection pairs go through the (flag-gated) fused pallas kernel;
     with the flag off this is exactly LN + dense.
     """
-    from latteclip_tpu.kernels import attention_core
+    from jax.ad_checkpoint import checkpoint_name
+
+    from latteclip_tpu.kernels import attention_core_qkv
     from latteclip_tpu.kernels.fused_ln_linear import ln_linear
 
-    D = x.shape[-1]
     qkv = ln_linear(x, p["ln_1_scale"], p["ln_1_bias"], p["in_proj_w"], p["in_proj_b"], dtype)
-    q, k, v = qkv[:, :, :D], qkv[:, :, D:2 * D], qkv[:, :, 2 * D:]
-    attn = attention_core(q, k, v, num_heads, causal, dtype=dtype)
+    # named so remat policies can optionally pin the projection output and
+    # skip the LN+QKV recompute in backward (see transformer_stack)
+    qkv = checkpoint_name(qkv, "qkv_proj")
+    attn = attention_core_qkv(qkv, num_heads, causal, dtype=dtype)
     attn = dense(attn, p["out_proj_w"], p["out_proj_b"], dtype)
     if "ls_1_gamma" in p:  # LayerScale (reference transformer.py:39-46,241-242)
         attn = attn * p["ls_1_gamma"].astype(dtype)
@@ -140,8 +148,10 @@ def transformer_stack(
         # checkpoint boundary: the kernel's residuals are exactly its inputs
         # plus lse, so with out/lse pinned the backward recompute eliminates
         # the attention forward entirely (lse is a primal output of the
-        # custom_vjp precisely to enable this).
-        policy = jax.checkpoint_policies.save_only_these_names("flash_out", "flash_lse")
+        # custom_vjp precisely to enable this). REMAT_SAVE_NAMES may
+        # additionally pin "qkv_proj" (the fused projection output) to skip
+        # the LN+QKV GEMM recompute when HBM allows.
+        policy = jax.checkpoint_policies.save_only_these_names(*REMAT_SAVE_NAMES)
         body = jax.checkpoint(body, prevent_cse=False, policy=policy)
 
     x, _ = jax.lax.scan(body, x, stacked)

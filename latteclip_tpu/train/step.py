@@ -58,8 +58,13 @@ class LatteHParams:
     use_zeroshot_pseudolabel: float = 1.0
     use_finetune_pseudolabel: float = 1.0
     remat: bool = False                 # grad checkpointing (off: TPU HBM fits)
+    remat_text: Optional[bool] = None   # per-tower override; None -> follow remat
     augment: bool = True
     bug_compat: bool = False            # replay the reference's fusion quirks (below)
+
+    @property
+    def text_remat(self) -> bool:
+        return self.remat if self.remat_text is None else self.remat_text
 
 
 def _fuse(
@@ -158,7 +163,7 @@ def latteclip_loss_fn(
     # of O(B) text-tower work for the label streams. The caption streams are
     # per-sample unique and batch into one forward.
     class_text_feats = clip_mod.encode_text(
-        params, cfg, template_table, normalize=True, remat=hp.remat
+        params, cfg, template_table, normalize=True, remat=hp.text_remat
     )  # [C, E]
     label_f = class_text_feats[preds]
     label_zs_f = class_text_feats[zs_preds]
@@ -167,7 +172,7 @@ def latteclip_loss_fn(
         [batch["per_image_tokens"], batch["per_group_tokens"]], axis=0
     )
     caption_feats = clip_mod.encode_text(
-        params, cfg, caption_tokens, normalize=True, remat=hp.remat
+        params, cfg, caption_tokens, normalize=True, remat=hp.text_remat
     )
     per_img_f, per_grp_f = jnp.split(caption_feats, 2, axis=0)
 
@@ -294,7 +299,7 @@ def flyp_loss_fn(params, cfg, hp, batch, images, template_table, use_gt: bool,
     labels = batch["gt_labels"] if use_gt else batch["zs_preds"]
     # encode unique class templates once, gather rows (gradient-identical)
     class_text_feats = clip_mod.encode_text(
-        params, cfg, template_table, normalize=True, remat=hp.remat
+        params, cfg, template_table, normalize=True, remat=hp.text_remat
     )
     text_features = class_text_feats[labels]
     logit_scale = jnp.exp(params["logit_scale"])

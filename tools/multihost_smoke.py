@@ -92,43 +92,114 @@ def worker(process_id: int) -> None:
     bank_sum = float(abs(np.asarray(state.memory_bank.addressable_shards[0].data)).sum())
     print(f"HOST {process_id} bank_checksum={bank_sum:.6f}", flush=True)
 
+    # ---- full mini-epoch tail: eval -> checkpoint -> resume -> step ------------
+    # (the loop's multi-host contract: eval runs identically on EVERY process
+    # over host-fetched replicated arrays; only master writes files)
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    from latteclip_tpu.core import checkpoint as ckpt
+    from latteclip_tpu.eval.zero_shot import prototype_classifier, run_zero_shot_eval
+    from latteclip_tpu.train.loop import (
+        LoopConfig,
+        _host_local_eval_state,
+        find_latest_checkpoint,
+        save_epoch_checkpoint,
+    )
+
+    def eval_batches():
+        ergn = np.random.default_rng(7)  # same eval data on every host
+        for _ in range(2):
+            imgs = ergn.integers(0, 255, size=(8, 64, 64, 3)).astype(np.uint8)
+            labels = ergn.integers(0, 4, size=(8,))
+            yield ([""] * 8, imgs, labels, 8)
+
+    est = _host_local_eval_state(state)
+    ev = run_zero_shot_eval(est.params, cfg, prototype_classifier(est.memory_bank), eval_batches())
+    print(f"HOST {process_id} eval_top1={ev['top1']:.6f} eval_top5={ev['top5']:.6f}", flush=True)
+
+    ckpt_dir = os.environ["SMOKE_CKPT_DIR"]
+    loop_cfg = LoopConfig(epochs=1, checkpoint_dir=ckpt_dir, name="smoke")
+    if process_id == 0:
+        save_epoch_checkpoint(state, cfg, classes, loop_cfg, epoch=1)
+    multihost_utils.sync_global_devices("checkpoint_written")
+
+    # continuation path: one more step from the live state
+    batch = global_batch_from_local(local_batch, mesh)
+    _, m_cont = sharded_step(state, batch, jax.random.PRNGKey(99))
+    cont_loss = float(m_cont["loss"])
+
+    # resume path: reload params+bank+opt_state from the checkpoint on EVERY
+    # host and take the same step — must match the continuation bitwise
+    path = find_latest_checkpoint(ckpt_dir)
+    assert path, f"no checkpoint found in {ckpt_dir}"
+    r_params, r_bank, r_meta = ckpt.load_clip_pt(path, cfg)
+    r_state = create_train_state(
+        r_params, optimizer, np.stack([r_bank[c] for c in classes])
+    )
+    r_state = r_state.replace(step=jnp.asarray(int(r_meta["step"]), jnp.int32))
+    r_state = r_state.replace(opt_state=ckpt.restore_opt_state(r_state.opt_state, r_meta["optimizer"]))
+    r_state = r_state.replace(prototypes=state.prototypes)  # epoch snapshot, set by start_epoch
+    r_state = replicate(r_state, mesh)
+    _, m_res = sharded_step(r_state, batch, jax.random.PRNGKey(99))
+    res_loss = float(m_res["loss"])
+    print(f"HOST {process_id} cont_loss={cont_loss:.8f} resume_loss={res_loss:.8f}", flush=True)
+
 
 def main() -> int:
     if len(sys.argv) > 1:
         worker(int(sys.argv[1]))
         return 0
+    import tempfile
+
+    ckpt_dir = tempfile.mkdtemp(prefix="smoke_ckpt_")
+    env = dict(os.environ, SMOKE_CKPT_DIR=ckpt_dir)
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), str(pid)],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
+            env=env,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )
         for pid in range(NUM_PROCESSES)
     ]
-    outputs = [p.communicate(timeout=600)[0] for p in procs]
+    outputs = [p.communicate(timeout=900)[0] for p in procs]
     ok = all(p.returncode == 0 for p in procs)
-    losses, checksums = {}, {}
+    losses, checksums, evals, tails = {}, {}, {}, {}
     for out in outputs:
         for line in out.splitlines():
             if line.startswith("HOST"):
                 print(line)
                 parts = line.split()
                 host = int(parts[1])
-                if "loss=" in line:
+                if "loss=" in line and "cont_loss" not in line:
                     losses.setdefault(host, []).append(float(line.split("loss=")[1]))
                 if "bank_checksum=" in line:
                     checksums[host] = float(line.split("bank_checksum=")[1])
+                if "eval_top1=" in line:
+                    evals[host] = line.split(None, 2)[2]
+                if "cont_loss=" in line:
+                    cont = float(line.split("cont_loss=")[1].split()[0])
+                    res = float(line.split("resume_loss=")[1])
+                    tails[host] = (cont, res)
     if not ok:
         for out in outputs:
-            print(out[-2000:])
+            print(out[-3000:])
         print("MULTIHOST SMOKE: FAILED (nonzero exit)")
         return 1
     if len(set(tuple(v) for v in losses.values())) != 1 or len(set(checksums.values())) != 1:
-        print("MULTIHOST SMOKE: FAILED (hosts disagree)", losses, checksums)
+        print("MULTIHOST SMOKE: FAILED (hosts disagree on train)", losses, checksums)
         return 1
-    print("MULTIHOST SMOKE: OK — hosts agree on losses and bank state")
+    if len(set(evals.values())) != 1 or len(evals) != NUM_PROCESSES:
+        print("MULTIHOST SMOKE: FAILED (hosts disagree on eval)", evals)
+        return 1
+    if len(set(tails.values())) != 1 or any(abs(c - r) > 1e-6 for c, r in tails.values()):
+        print("MULTIHOST SMOKE: FAILED (resume != continuation)", tails)
+        return 1
+    print("MULTIHOST SMOKE: OK — train/eval/bank agree across hosts; "
+          "checkpoint resume matches continuation bitwise")
     return 0
 
 

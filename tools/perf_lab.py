@@ -79,27 +79,26 @@ def bench_attention():
     import jax
     import jax.numpy as jnp
 
-    from latteclip_tpu.kernels.attention import flash_attention_packed
+    from latteclip_tpu.kernels.attention import flash_attention_qkv
     from latteclip_tpu.kernels import xla_attention
 
     B, L, H, D = 512, 197, 12, 64
     HD = H * D
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.standard_normal((B, L, HD)), dtype=jnp.bfloat16)
-    k = jnp.asarray(rng.standard_normal((B, L, HD)), dtype=jnp.bfloat16)
-    v = jnp.asarray(rng.standard_normal((B, L, HD)), dtype=jnp.bfloat16)
+    qkv = jnp.asarray(rng.standard_normal((B, L, 3 * HD)), dtype=jnp.bfloat16)
+    q, k, v = (jnp.asarray(np.asarray(qkv[..., i * HD:(i + 1) * HD])) for i in range(3))
 
     fwd_flops = 4 * B * H * L * L * D
     # value+grad: fwd (4) + bwd (11) units of B*H*L*L*D
     tot_flops = 15 * B * H * L * L * D
 
-    t = timeit_looped(lambda q, k, v: flash_attention_packed(q, k, v, H), (q, k, v))
+    t = timeit_looped(lambda qkv: flash_attention_qkv(qkv, H), (qkv,))
     print(f"pallas fwd          : {t*1e3:8.2f} ms  {fwd_flops/t/1e12:6.1f} TF/s")
 
-    def loss_fa(q, k, v):
-        return jnp.sum(flash_attention_packed(q, k, v, H).astype(jnp.float32))
+    def loss_fa(qkv):
+        return jnp.sum(flash_attention_qkv(qkv, H).astype(jnp.float32))
 
-    t = timeit_looped(jax.grad(loss_fa, argnums=(0, 1, 2)), (q, k, v))
+    t = timeit_looped(jax.grad(loss_fa), (qkv,))
     print(f"pallas fwd+bwd      : {t*1e3:8.2f} ms  {tot_flops/t/1e12:6.1f} TF/s")
 
     def xla_fa(q, k, v):
