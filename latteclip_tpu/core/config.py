@@ -26,9 +26,10 @@ class VisionConfig:
     layers: int = 12
     head_width: int = 64
     mlp_ratio: float = 4.0
-    pool_type: str = "tok"          # 'tok' | 'avg'
+    pool_type: str = "tok"          # 'tok' | 'avg' | 'map' (big_vision MAPHead)
     final_ln_after_pool: bool = False
     no_ln_pre: bool = False
+    no_cls_token: bool = False      # SigLIP/big_vision ViTs have no class token
     patch_dropout: float = 0.0      # train-time patch dropout probability
     pos_embed_type: str = "learnable"  # 'learnable' | 'sin_cos_2d'
     attentional_pool: bool = False  # learned-query pooling head (CoCa-style)
@@ -47,7 +48,7 @@ class VisionConfig:
     @property
     def seq_len(self) -> int:
         """Token count incl. class token — static shape for kernels."""
-        return self.grid * self.grid + 1
+        return self.grid * self.grid + (0 if self.no_cls_token else 1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,7 +93,9 @@ class CLIPConfig:
     vision: VisionConfig
     text: TextConfig
     quick_gelu: bool = False
+    gelu_tanh: bool = False         # tanh-approx gelu (big_vision/SigLIP towers)
     init_logit_scale: float = 2.6592600369  # ln(1/0.07), reference model.py:364
+    init_logit_bias: float = None   # SigLIP bias term (reference model.py:392-393)
     # TPU precision policy: params + LayerNorm stats in f32, matmul inputs in
     # bf16 (replaces the reference's AMP fp16 + LayerNormFp32 arrangement,
     # reference src/open_clip/transformer.py:15-21).
@@ -132,7 +135,15 @@ def config_from_dict(name: str, raw: Dict[str, Any]) -> CLIPConfig:
         vision = ResNetVisionConfig(**fields)
     else:
         vision = VisionConfig(**_filter_fields(VisionConfig, vision_raw))
-    text = TextConfig(**_filter_fields(TextConfig, raw.get("text_cfg", {})))
+    text_raw = raw.get("text_cfg", {})
+    if "hf_model_name" in text_raw:
+        # HF-architecture text tower (reference model.py:141-150 ->
+        # hf_model.py); native JAX implementation in models/hf_text.py
+        from latteclip_tpu.models.hf_text import hf_text_config
+
+        text = hf_text_config(text_raw)
+    else:
+        text = TextConfig(**_filter_fields(TextConfig, text_raw))
     if "multimodal_cfg" in raw:
         return CoCaConfig(
             name=name,
@@ -142,12 +153,22 @@ def config_from_dict(name: str, raw: Dict[str, Any]) -> CLIPConfig:
             multimodal=TextConfig(**_filter_fields(TextConfig, raw["multimodal_cfg"])),
             quick_gelu=quick_gelu,
         )
+    kwargs = {}
+    if raw.get("init_logit_bias") is not None:
+        kwargs["init_logit_bias"] = float(raw["init_logit_bias"])
+    if raw.get("init_logit_scale") is not None:
+        kwargs["init_logit_scale"] = float(raw["init_logit_scale"])
+    if raw.get("gelu_tanh"):
+        kwargs["gelu_tanh"] = True
+    if raw.get("compute_dtype"):
+        kwargs["compute_dtype"] = str(raw["compute_dtype"])
     return CLIPConfig(
         name=name,
         embed_dim=int(raw["embed_dim"]),
         vision=vision,
         text=text,
         quick_gelu=quick_gelu,
+        **kwargs,
     )
 
 

@@ -30,11 +30,20 @@ def init_clip_params(rng: jax.Array, cfg: CLIPConfig) -> Params:
         visual = resnet_mod.init_resnet_params(kv, cfg.vision, cfg.embed_dim)
     else:
         visual = vit_mod.init_vit_params(kv, cfg.vision, cfg.embed_dim)
-    return {
+    from latteclip_tpu.models.hf_text import HFTextConfig, init_hf_text_params
+
+    if isinstance(cfg.text, HFTextConfig):
+        text_params = init_hf_text_params(kt, cfg.text, cfg.embed_dim)
+    else:
+        text_params = text_mod.init_text_params(kt, cfg.text, cfg.embed_dim)
+    params = {
         "visual": visual,
-        "text": text_mod.init_text_params(kt, cfg.text, cfg.embed_dim),
+        "text": text_params,
         "logit_scale": jnp.asarray(cfg.init_logit_scale, dtype=jnp.float32),
     }
+    if cfg.init_logit_bias is not None:  # SigLIP (reference model.py:392-393)
+        params["logit_bias"] = jnp.asarray(cfg.init_logit_bias, dtype=jnp.float32)
+    return params
 
 
 def _dtype(cfg: CLIPConfig) -> jnp.dtype:
@@ -61,7 +70,7 @@ def encode_image(
         feats = vit_mod.vit_forward(
             params["visual"], cfg.vision, images,
             dtype=_dtype(cfg), quick_gelu=cfg.quick_gelu, remat=remat,
-            train=train, rng=rng,
+            train=train, rng=rng, gelu_tanh=getattr(cfg, "gelu_tanh", False),
         )
     return l2_normalize(feats) if normalize else feats
 
@@ -74,10 +83,19 @@ def encode_text(
     normalize: bool = False,
     remat: bool = False,
 ) -> jnp.ndarray:
-    feats = text_mod.text_forward(
-        params["text"], cfg.text, tokens,
-        dtype=_dtype(cfg), quick_gelu=cfg.quick_gelu, remat=remat,
-    )
+    from latteclip_tpu.models.hf_text import HFTextConfig, hf_text_forward
+
+    if isinstance(cfg.text, HFTextConfig):
+        feats = hf_text_forward(
+            params["text"], cfg.text, tokens,
+            embed_dim=cfg.embed_dim, dtype=_dtype(cfg),
+        )
+    else:
+        feats = text_mod.text_forward(
+            params["text"], cfg.text, tokens,
+            dtype=_dtype(cfg), quick_gelu=cfg.quick_gelu, remat=remat,
+            gelu_tanh=getattr(cfg, "gelu_tanh", False),
+        )
     return l2_normalize(feats) if normalize else feats
 
 

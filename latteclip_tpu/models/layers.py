@@ -57,6 +57,11 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.gelu(x, approximate=False)
 
 
+def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
+    # flax nn.gelu default (big_vision/SigLIP towers use this approximation)
+    return jax.nn.gelu(x, approximate=True)
+
+
 def dense(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray], dtype: jnp.dtype) -> jnp.ndarray:
     # emit the compute dtype directly: the MXU accumulates in f32 internally
     # regardless, and a f32 intermediate would be kept live for backward
@@ -100,11 +105,15 @@ def residual_block(
     causal: bool,
     act,
     dtype: jnp.dtype,
+    tower: str = "",
 ) -> jnp.ndarray:
     """Pre-LN residual attention block (reference transformer.py:231-243).
 
     The LN→projection pairs go through the (flag-gated) fused pallas kernel;
-    with the flag off this is exactly LN + dense.
+    with the flag off this is exactly LN + dense. Intermediates are
+    checkpoint-named with a per-tower suffix (``_v``/``_t``) so remat
+    policies can pin them selectively (e.g. save vision ``qkv_proj_v`` but
+    let the smaller text tower recompute).
     """
     from jax.ad_checkpoint import checkpoint_name
 
@@ -112,17 +121,19 @@ def residual_block(
     from latteclip_tpu.kernels.fused_ln_linear import ln_linear
 
     qkv = ln_linear(x, p["ln_1_scale"], p["ln_1_bias"], p["in_proj_w"], p["in_proj_b"], dtype)
-    # named so remat policies can optionally pin the projection output and
-    # skip the LN+QKV recompute in backward (see transformer_stack)
-    qkv = checkpoint_name(qkv, "qkv_proj")
+    # pinning this skips the LN+QKV GEMM recompute in backward
+    qkv = checkpoint_name(qkv, f"qkv_proj{tower}")
     attn = attention_core_qkv(qkv, num_heads, causal, dtype=dtype)
     attn = dense(attn, p["out_proj_w"], p["out_proj_b"], dtype)
     if "ls_1_gamma" in p:  # LayerScale (reference transformer.py:39-46,241-242)
         attn = attn * p["ls_1_gamma"].astype(dtype)
-    x = x + attn
+    # pinning the attention residual sum skips the out-proj recompute
+    x = checkpoint_name(x + attn, f"attn_res{tower}")
 
     h = ln_linear(x, p["ln_2_scale"], p["ln_2_bias"], p["c_fc_w"], p["c_fc_b"], dtype)
-    h = dense(act(h), p["c_proj_w"], p["c_proj_b"], dtype)
+    # pinning the activation output skips BOTH MLP GEMM recomputes
+    h = checkpoint_name(act(h), f"mlp_act{tower}")
+    h = dense(h, p["c_proj_w"], p["c_proj_b"], dtype)
     if "ls_2_gamma" in p:
         h = h * p["ls_2_gamma"].astype(dtype)
     return x + h
@@ -136,11 +147,12 @@ def transformer_stack(
     act,
     dtype: jnp.dtype,
     remat: bool = False,
+    tower: str = "",
 ) -> jnp.ndarray:
     """Run a stack of residual blocks via lax.scan over the layer axis."""
 
     def body(carry, layer_params):
-        out = residual_block(carry, layer_params, num_heads, causal, act, dtype)
+        out = residual_block(carry, layer_params, num_heads, causal, act, dtype, tower)
         return out, None
 
     if remat:

@@ -98,16 +98,18 @@ def text_forward(
     dtype: jnp.dtype = jnp.bfloat16,
     quick_gelu: bool = False,
     remat: bool = False,
+    gelu_tanh: bool = False,
 ) -> jnp.ndarray:
     """Token ids [B, ctx] (int32) -> pooled features [B, embed_dim] (f32)."""
-    act = layers.quick_gelu if quick_gelu else layers.gelu
+    act = layers.quick_gelu if quick_gelu else (layers.gelu_tanh if gelu_tanh else layers.gelu)
     ctx = tokens.shape[1]
 
     x = params["token_embedding"][tokens].astype(dtype)            # [B, ctx, D]
     x = x + params["pos_embed"][:ctx].astype(dtype)
 
     x = layers.transformer_stack(
-        x, params["blocks"], cfg.heads, not cfg.no_causal_mask, act, dtype, remat=remat
+        x, params["blocks"], cfg.heads, not cfg.no_causal_mask, act, dtype,
+        remat=remat, tower="_t"
     )
     x = layers.layer_norm(x, params["ln_final_scale"], params["ln_final_bias"])
 
@@ -123,5 +125,6 @@ def text_forward(
     else:
         raise ValueError(f"unsupported text pool_type: {cfg.pool_type}")
 
-    out = layers.dense(pooled, params["text_projection"], None, dtype)
+    # optional projection bias (SigLIP text head, reference big_vision.py:128-129)
+    out = layers.dense(pooled, params["text_projection"], params.get("text_projection_b"), dtype)
     return out.astype(jnp.float32)

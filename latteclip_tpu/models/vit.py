@@ -55,25 +55,31 @@ def init_vit_params(rng: jax.Array, cfg: VisionConfig, embed_dim: int) -> Params
     if cfg.pos_embed_type == "sin_cos_2d":
         from latteclip_tpu.models.pos_embed import sincos_2d
 
-        pos_embed = jnp.asarray(sincos_2d(D, cfg.grid, cls_token=True))
+        pos_embed = jnp.asarray(sincos_2d(D, cfg.grid, cls_token=not cfg.no_cls_token))
     else:
         pos_embed = jax.random.normal(next(k), (cfg.seq_len, D)) * scale
     pool_dim = embed_dim if cfg.attentional_pool else D
     params = {
         "patch_kernel": jax.random.normal(next(k), (cfg.patch_size * cfg.patch_size * 3, D)) * scale,
-        "class_embedding": jax.random.normal(next(k), (D,)) * scale,
         "pos_embed": pos_embed,
         "ln_pre_scale": jnp.ones((D,)),
         "ln_pre_bias": jnp.zeros((D,)),
         "blocks": blocks,
         "ln_post_scale": jnp.ones((pool_dim,)),
         "ln_post_bias": jnp.zeros((pool_dim,)),
-        "proj": jax.random.normal(next(k), (pool_dim, embed_dim)) * scale,
     }
+    if not cfg.no_cls_token:
+        params["class_embedding"] = jax.random.normal(next(k), (D,)) * scale
+    if not (cfg.pool_type == "map" and pool_dim == embed_dim):
+        # SigLIP-style models (MAP pooling, width == embed_dim) have no
+        # final projection (reference big_vision.py:131: head is the pool)
+        params["proj"] = jax.random.normal(next(k), (pool_dim, embed_dim)) * scale
     if cfg.attentional_pool:
         params["attn_pool"] = init_attn_pool_params(
             next(k), embed_dim, D, cfg.attn_pooler_queries
         )
+    if cfg.pool_type == "map":
+        params["map_head"] = init_map_head_params(next(k), D, int(D * cfg.mlp_ratio))
     return params
 
 
@@ -135,6 +141,59 @@ def attentional_pool(
     return out @ p["out_proj_w"].astype(dtype).T + p["out_proj_b"].astype(dtype)
 
 
+def init_map_head_params(rng: jax.Array, d_model: int, mlp_width: int) -> Params:
+    """big_vision MAPHead params — flax ``(in, out)`` kernel convention,
+    matching the .npz layout the importer reads (reference
+    big_vision.py:84-100 maps the same arrays onto timm's attn_pool)."""
+    k = iter(jax.random.split(rng, 8))
+    scale = d_model ** -0.5
+    return {
+        "probe": jax.random.normal(next(k), (1, d_model)) * scale,
+        "q_w": jax.random.normal(next(k), (d_model, d_model)) * scale,
+        "q_b": jnp.zeros((d_model,)),
+        "k_w": jax.random.normal(next(k), (d_model, d_model)) * scale,
+        "k_b": jnp.zeros((d_model,)),
+        "v_w": jax.random.normal(next(k), (d_model, d_model)) * scale,
+        "v_b": jnp.zeros((d_model,)),
+        "out_w": jax.random.normal(next(k), (d_model, d_model)) * scale,
+        "out_b": jnp.zeros((d_model,)),
+        "ln_scale": jnp.ones((d_model,)),
+        "ln_bias": jnp.zeros((d_model,)),
+        "fc1_w": jax.random.normal(next(k), (d_model, mlp_width)) * scale,
+        "fc1_b": jnp.zeros((mlp_width,)),
+        "fc2_w": jax.random.normal(next(k), (mlp_width, d_model)) * scale,
+        "fc2_b": jnp.zeros((d_model,)),
+    }
+
+
+def siglip_map_head(
+    x: jnp.ndarray, p: Params, num_heads: int, dtype: jnp.dtype
+) -> jnp.ndarray:
+    """big_vision MAPHead: probe cross-attention, then LN + residual MLP,
+    returning the probe token — ``x[:, 0]`` of the pooled sequence. The MLP
+    uses tanh-approximate gelu (flax ``nn.gelu`` default), unlike the towers'
+    exact gelu."""
+    B, L, D = x.shape
+    hd = D // num_heads
+    x = x.astype(dtype)
+    q = p["probe"].astype(dtype) @ p["q_w"].astype(dtype) + p["q_b"].astype(dtype)  # [1, D]
+    k = x @ p["k_w"].astype(dtype) + p["k_b"].astype(dtype)                          # [B, L, D]
+    v = x @ p["v_w"].astype(dtype) + p["v_b"].astype(dtype)
+    qh = jnp.broadcast_to(q.reshape(1, 1, num_heads, hd), (B, 1, num_heads, hd))
+    kh = k.reshape(B, L, num_heads, hd)
+    vh = v.reshape(B, L, num_heads, hd)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh * hd ** -0.5, kh,
+                        preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh, preferred_element_type=jnp.float32)
+    out = out.reshape(B, 1, D).astype(dtype)
+    out = out @ p["out_w"].astype(dtype) + p["out_b"].astype(dtype)
+    y = layers.layer_norm(out, p["ln_scale"], p["ln_bias"])
+    h = jax.nn.gelu(y @ p["fc1_w"].astype(dtype) + p["fc1_b"].astype(dtype), approximate=True)
+    out = out + (h @ p["fc2_w"].astype(dtype) + p["fc2_b"].astype(dtype))
+    return out[:, 0]
+
+
 def patch_dropout(x: jnp.ndarray, prob: float, rng: jax.Array) -> jnp.ndarray:
     """Randomly keep a fraction of patch tokens, always keeping the class
     token (reference PatchDropout, transformer.py:49-86). Static output
@@ -159,18 +218,20 @@ def vit_forward(
     train: bool = False,
     rng: jax.Array = None,
     output_tokens: bool = False,
+    gelu_tanh: bool = False,
 ):
     """Images [B, H, W, 3] -> pooled features [B, embed_dim] (f32); with
     ``output_tokens`` also returns the token embeddings (CoCa decoder input,
     reference transformer.py:529-546)."""
     B = images.shape[0]
-    act = layers.quick_gelu if quick_gelu else layers.gelu
+    act = layers.quick_gelu if quick_gelu else (layers.gelu_tanh if gelu_tanh else layers.gelu)
 
     x = patchify(images, cfg.patch_size)
-    x = layers.dense(x, params["patch_kernel"], None, dtype)      # [B, N, D]
+    x = layers.dense(x, params["patch_kernel"], params.get("patch_bias"), dtype)  # [B, N, D]
 
-    cls = jnp.broadcast_to(params["class_embedding"].astype(dtype), (B, 1, cfg.width))
-    x = jnp.concatenate([cls, x], axis=1)                          # [B, N+1, D]
+    if not cfg.no_cls_token:
+        cls = jnp.broadcast_to(params["class_embedding"].astype(dtype), (B, 1, cfg.width))
+        x = jnp.concatenate([cls, x], axis=1)                      # [B, N+1, D]
     pos = params["pos_embed"]
     if cfg.pos_embed_type == "sin_cos_2d":  # fixed embedding (requires_grad=False)
         pos = jax.lax.stop_gradient(pos)
@@ -184,10 +245,17 @@ def vit_forward(
         x = layers.layer_norm(x, params["ln_pre_scale"], params["ln_pre_bias"])
 
     x = layers.transformer_stack(
-        x, params["blocks"], cfg.heads, False, act, dtype, remat=remat
+        x, params["blocks"], cfg.heads, False, act, dtype, remat=remat, tower="_v"
     )
 
-    if cfg.attentional_pool:
+    off = 0 if cfg.no_cls_token else 1
+    if cfg.pool_type == "map":
+        # big_vision/SigLIP: encoder_norm BEFORE the MAP head, probe token
+        # is the pooled feature (reference big_vision.py:81-100)
+        x = layers.layer_norm(x, params["ln_post_scale"], params["ln_post_bias"])
+        tokens = x
+        pooled = siglip_map_head(x, params["map_head"], cfg.heads, dtype)
+    elif cfg.attentional_pool:
         # CoCa-style: pool with learned queries, then ln_post + tok pooling
         # (reference transformer.py:529-533)
         x = attentional_pool(x, params["attn_pool"], cfg.attn_pooler_heads, dtype)
@@ -195,15 +263,17 @@ def vit_forward(
         tokens = x[:, 1:]
         pooled = tokens.mean(axis=1) if cfg.pool_type == "avg" else x[:, 0]
     elif cfg.final_ln_after_pool:
-        tokens = x[:, 1:]
+        tokens = x[:, off:]
         pooled = tokens.mean(axis=1) if cfg.pool_type == "avg" else x[:, 0]
         pooled = layers.layer_norm(pooled, params["ln_post_scale"], params["ln_post_bias"])
     else:
         x = layers.layer_norm(x, params["ln_post_scale"], params["ln_post_bias"])
-        tokens = x[:, 1:]
+        tokens = x[:, off:]
         pooled = tokens.mean(axis=1) if cfg.pool_type == "avg" else x[:, 0]
 
-    out = layers.dense(pooled, params["proj"], None, dtype).astype(jnp.float32)
+    if "proj" in params:
+        pooled = layers.dense(pooled, params["proj"], None, dtype)
+    out = pooled.astype(jnp.float32)
     if output_tokens:
         return out, tokens
     return out

@@ -171,6 +171,7 @@ def train(
     templates=None,
     val_pairs_dataset=None,
     imagenet_val_dataset=None,
+    writers=(),
 ) -> TrainState:
     """Run the full fine-tune; returns the final state.
 
@@ -210,6 +211,16 @@ def train(
                     thr.samples_per_second, thr.samples_per_second_per_chip,
                     meters["logit_scale"].val, meters["loss"].val, meters["loss"].avg,
                 )
+                # reference train.py:599-607: per-log-point train/* scalars
+                gstep = epoch * pipeline.steps_per_epoch + i
+                for w in writers:
+                    for k, v in host_metrics.items():
+                        if np.ndim(v) == 0:
+                            w.add_scalar(f"train/{k}", float(v), gstep)
+                    w.add_scalar("train/data_time", thr.data_time.avg, gstep)
+                    w.add_scalar("train/batch_time", thr.batch_time.avg, gstep)
+                    w.add_scalar("train/samples_per_second", thr.samples_per_second, gstep)
+                    w.flush()
 
         completed = epoch + 1
         if (
@@ -259,6 +270,11 @@ def train(
             if is_master:
                 logger.info("Eval Epoch: %d %s", completed, {k: round(v, 4) for k, v in eval_metrics.items()})
                 append_results_jsonl(results_path, {"epoch": completed, **eval_metrics})
+                # reference train.py:1488-1496: eval metrics as val/* scalars
+                for w in writers:
+                    for k, v in eval_metrics.items():
+                        w.add_scalar(f"val/{k}", float(v), completed)
+                    w.flush()
 
         if is_master and loop_cfg.save_frequency and (completed % loop_cfg.save_frequency == 0 or completed == loop_cfg.epochs):
             # np.asarray / device_get on replicated arrays is process-local

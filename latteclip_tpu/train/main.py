@@ -283,9 +283,20 @@ def main(argv=None) -> int:
             # reference SigLIP configs carry init_logit_bias (-10); inject it
             # when fine-tuning a CLIP checkpoint with the sigmoid loss
             params = dict(params, logit_bias=jnp.asarray(-10.0, jnp.float32))
+        teacher = None
+        if args.distill_model is not None and args.distill_pretrained is not None:
+            # frozen same-tokenizer teacher (reference main.py:213-219,265-272)
+            from latteclip_tpu.core import checkpoint as _ckpt
+            from latteclip_tpu.core.config import get_model_config as _gmc
+
+            teacher_cfg = _gmc(args.distill_model)
+            t_params, _, _ = _ckpt.load_clip_pt(args.distill_pretrained, teacher_cfg)
+            teacher = (teacher_cfg, t_params)
+            logger.info("distilling from %s (%s)", args.distill_model, args.distill_pretrained)
         step_fn = make_flyp_step(
             cfg, optimizer, hp, table,
             use_gt=(args.method == "flyp_gt"), use_siglip=args.siglip,
+            teacher=teacher,
         )
 
     state = create_train_state(params, optimizer, bank)
@@ -352,6 +363,9 @@ def main(argv=None) -> int:
             caption_key=args.csv_caption_key, sep=args.csv_separator,
             image_size=cfg.vision.image_size,
         )
+    from latteclip_tpu.obs.tensorboard import make_writers
+
+    writers = make_writers(args.report_to, args.logs, name, jax.process_index() == 0)
     remote_sync = None
     if args.remote_sync and jax.process_index() == 0:
         from latteclip_tpu.obs.file_sync import RemoteSync
@@ -374,7 +388,10 @@ def main(argv=None) -> int:
         templates=templates,
         val_pairs_dataset=val_pairs_dataset,
         imagenet_val_dataset=imagenet_val_dataset,
+        writers=writers,
     )
+    for w in writers:
+        w.close()
     if remote_sync is not None:
         remote_sync.final_sync()
     return 0

@@ -95,6 +95,16 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="remote dir (s3:// or mounted path) to mirror the "
                         "run dir into (reference file_utils.py:54-61)")
     p.add_argument("--remote-sync-frequency", type=int, default=300)
+    p.add_argument("--distill-model", type=str, default=None,
+                   help="teacher architecture for distillation (reference "
+                        "params.py --distill-model; applies to flyp/flyp_gt)")
+    p.add_argument("--distill-pretrained", type=str, default=None,
+                   help="teacher checkpoint path (reference --distill-pretrained)")
+    p.add_argument("--report-to", type=str, default="",
+                   help="comma-separated metric sinks: tensorboard and/or "
+                        "wandb (reference params.py / main.py:434-457); "
+                        "tensorboard uses the stdlib event writer in "
+                        "obs/tensorboard.py")
     p.add_argument("--siglip", action="store_true", default=False,
                    help="train the flyp/flyp_gt path with the SigLIP sigmoid "
                         "loss (reference factory.py:337-341, loss.py:365-560)")

@@ -294,7 +294,7 @@ def make_train_step(
 # ---------------------------------------------------------------------------
 
 def flyp_loss_fn(params, cfg, hp, batch, images, template_table, use_gt: bool,
-                 use_siglip: bool = False):
+                 use_siglip: bool = False, teacher=None):
     image_features = clip_mod.encode_image(params, cfg, images, normalize=True, remat=hp.remat)
     labels = batch["gt_labels"] if use_gt else batch["zs_preds"]
     # encode unique class templates once, gather rows (gradient-identical)
@@ -314,7 +314,29 @@ def flyp_loss_fn(params, cfg, hp, batch, images, template_table, use_gt: bool,
         loss = siglip_full_loss(image_features, text_features, logit_scale, logit_bias)
     else:
         loss = clip_loss(image_features, text_features, logit_scale)
-    return loss, {"loss": loss, "contrastive_loss": loss, "logit_scale": logit_scale}
+    metrics = {"contrastive_loss": loss, "logit_scale": logit_scale}
+    if teacher is not None:
+        # --distill-model/--distill-pretrained (reference main.py:213-219,
+        # 265-272; DistillClipLoss loss.py:324-362): a frozen teacher scores
+        # the same batch; its soft logit targets are added to the loss
+        from latteclip_tpu.train.objective import distill_clip_loss
+
+        teacher_cfg, teacher_params = teacher
+        t_img = jax.lax.stop_gradient(
+            clip_mod.encode_image(teacher_params, teacher_cfg, images, normalize=True)
+        )
+        t_cls = jax.lax.stop_gradient(
+            clip_mod.encode_text(teacher_params, teacher_cfg, template_table, normalize=True)
+        )
+        t_txt = t_cls[labels]
+        t_scale = jnp.exp(teacher_params["logit_scale"])
+        d_loss = distill_clip_loss(
+            image_features, text_features, logit_scale, t_img, t_txt, t_scale
+        )
+        loss = loss + d_loss
+        metrics["distill_loss"] = d_loss
+    metrics["loss"] = loss
+    return loss, metrics
 
 
 def make_flyp_step(
@@ -325,9 +347,12 @@ def make_flyp_step(
     use_gt: bool = False,
     aug: Optional[T.AugConfig] = None,
     use_siglip: bool = False,
+    teacher: Optional[tuple] = None,
 ):
     aug = aug or T.AugConfig()
     template_table = jnp.asarray(template_table)
+    if teacher is not None:
+        teacher = (teacher[0], jax.tree_util.tree_map(jnp.asarray, teacher[1]))
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         if hp.augment:
@@ -336,7 +361,8 @@ def make_flyp_step(
             images = T.normalize_images(batch["images"])
         grad_fn = jax.value_and_grad(flyp_loss_fn, has_aux=True)
         (loss, metrics), grads = grad_fn(
-            state.params, cfg, hp, batch, images, template_table, use_gt, use_siglip
+            state.params, cfg, hp, batch, images, template_table, use_gt, use_siglip,
+            teacher,
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

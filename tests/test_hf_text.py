@@ -1,0 +1,129 @@
+"""HF text tower parity (models/hf_text.py) against live ``transformers``.
+
+Tiny randomly-initialised BertModel / RobertaModel instances are the torch
+oracle: their ``state_dict`` is imported into the native JAX tower and the
+outputs compared on identical padded inputs — embeddings, post-LN masked
+encoder, poolers, and projections (reference ``src/open_clip/hf_model.py``).
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from latteclip_tpu.models.hf_text import (  # noqa: E402
+    HFTextConfig,
+    hf_text_config,
+    hf_text_forward,
+    import_hf_state_dict,
+    init_hf_text_params,
+)
+
+D, L, H, M, V, P = 32, 2, 4, 64, 100, 40
+
+
+def tiny_bert():
+    cfg = transformers.BertConfig(
+        vocab_size=V, hidden_size=D, num_hidden_layers=L, num_attention_heads=H,
+        intermediate_size=M, max_position_embeddings=P, type_vocab_size=1,
+        pad_token_id=0, hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    return transformers.BertModel(cfg, add_pooling_layer=True).eval(), cfg
+
+
+def tiny_roberta():
+    cfg = transformers.RobertaConfig(
+        vocab_size=V, hidden_size=D, num_hidden_layers=L, num_attention_heads=H,
+        intermediate_size=M, max_position_embeddings=P, type_vocab_size=1,
+        pad_token_id=1, hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(1)
+    return transformers.RobertaModel(cfg, add_pooling_layer=False).eval(), cfg
+
+
+def make_ids(pad_id, rng):
+    # variable-length rows padded to T=10
+    ids = rng.integers(3, V, size=(4, 10)).astype(np.int64)
+    lengths = [10, 7, 5, 9]
+    for r, n in enumerate(lengths):
+        ids[r, n:] = pad_id
+    return ids
+
+
+def jax_cfg(model_type, pad_id, pooler, ln_eps):
+    return HFTextConfig(
+        model_type=model_type, vocab_size=V, width=D, layers=L, heads=H,
+        intermediate=M, max_positions=P, pad_id=pad_id, ln_eps=ln_eps,
+        pooler_type=pooler,
+    )
+
+
+def hf_hidden_and_pooler(model, ids, pad_id):
+    mask = torch.tensor((ids != pad_id).astype(np.int64))
+    with torch.no_grad():
+        out = model(input_ids=torch.tensor(ids), attention_mask=mask)
+    return out
+
+
+def test_bert_cls_pooler_parity():
+    model, _ = tiny_bert()
+    ids = make_ids(0, np.random.default_rng(2))
+    cfg = jax_cfg("bert", 0, "cls_pooler", 1e-12)
+    params = import_hf_state_dict(model.state_dict(), cfg)
+    assert "pooler_w" in params
+
+    ours = np.asarray(hf_text_forward(params, cfg, jnp.asarray(ids.astype(np.int32)),
+                                      embed_dim=D, dtype=jnp.float32))
+    want = hf_hidden_and_pooler(model, ids, 0).pooler_output.numpy()
+    np.testing.assert_allclose(ours, want, atol=2e-5, rtol=1e-4)
+
+
+def test_roberta_mean_pooler_parity():
+    model, _ = tiny_roberta()
+    ids = make_ids(1, np.random.default_rng(3))
+    cfg = jax_cfg("roberta", 1, "mean_pooler", 1e-5)
+    params = import_hf_state_dict(model.state_dict(), cfg)
+
+    ours = np.asarray(hf_text_forward(params, cfg, jnp.asarray(ids.astype(np.int32)),
+                                      embed_dim=D, dtype=jnp.float32))
+    out = hf_hidden_and_pooler(model, ids, 1).last_hidden_state.numpy()
+    mask = (ids != 1).astype(np.float32)[:, :, None]
+    want = (out * mask).sum(1) / mask.sum(1)
+    np.testing.assert_allclose(ours, want, atol=2e-5, rtol=1e-4)
+
+
+def test_max_pooler_and_projections():
+    model, _ = tiny_roberta()
+    ids = make_ids(1, np.random.default_rng(4))
+    cfg = jax_cfg("roberta", 1, "max_pooler", 1e-5)
+    params = import_hf_state_dict(model.state_dict(), cfg)
+
+    ours = np.asarray(hf_text_forward(params, cfg, jnp.asarray(ids.astype(np.int32)),
+                                      embed_dim=D, dtype=jnp.float32))
+    out = hf_hidden_and_pooler(model, ids, 1).last_hidden_state.numpy()
+    masked = np.where((ids == 1)[:, :, None], -np.inf, out)
+    np.testing.assert_allclose(ours, masked.max(1), atol=2e-5, rtol=1e-4)
+
+    # mlp projection to a different embed dim (reference hf_model.py:146-152)
+    E = 16
+    pcfg = HFTextConfig(model_type="roberta", vocab_size=V, width=D, layers=L,
+                        heads=H, intermediate=M, max_positions=P, pad_id=1,
+                        pooler_type="mean_pooler", proj_type="mlp")
+    pp = init_hf_text_params(jax.random.PRNGKey(0), pcfg, E)
+    assert pp["proj1_w"].shape == (D, (D + E) // 2)
+    feats = hf_text_forward(pp, pcfg, jnp.asarray(ids.astype(np.int32)),
+                            embed_dim=E, dtype=jnp.float32)
+    assert feats.shape == (4, E)
+
+
+def test_hf_text_config_resolution():
+    cfg = hf_text_config({"hf_model_name": "roberta-base", "proj": "mlp"})
+    assert cfg.model_type == "roberta" and cfg.width == 768
+    assert cfg.pooler_type == "mean_pooler" and cfg.proj_type == "mlp"
+    assert cfg.position_offset == 2
+
+    with pytest.raises(ValueError, match="no native tower"):
+        hf_text_config({"hf_model_name": "google/mt5-base", "model_type": "mt5"})

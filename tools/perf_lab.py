@@ -194,6 +194,48 @@ def bench_step(model="ViT-B-16", batch=512, remat=True, augment=True, iters=6):
     return dt
 
 
+def bench_flyp_step(model="ViT-B-16", batch=512, remat=True, iters=6):
+    """FLYP baseline step: vision tower + C-template text only — subtracting
+    from the full v2 step isolates the per-sample caption text-tower cost."""
+    import jax
+
+    from latteclip_tpu.core.config import get_model_config
+    from latteclip_tpu.models.clip import init_clip_params
+    from latteclip_tpu.models.tokenizer import get_tokenizer
+    from latteclip_tpu.train.optim import make_optimizer, make_schedule
+    from latteclip_tpu.train.state import build_template_table, create_train_state, init_memory_bank
+    from latteclip_tpu.train.step import LatteHParams, make_flyp_step
+
+    cfg = get_model_config(model)
+    classes = [f"class {i}" for i in range(47)]
+    templates = [lambda c: f"{c} texture."]
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    tokenizer = get_tokenizer()
+    bank = init_memory_bank(params, cfg, tokenizer, classes, templates)
+    table = build_template_table(tokenizer, classes, templates)
+    optimizer = make_optimizer(make_schedule("cosine", 1e-5, warmup=10, total_steps=1000))
+    state = create_train_state(params, optimizer, bank)
+    hp = LatteHParams(remat=remat)
+    step = jax.jit(make_flyp_step(cfg, optimizer, hp, table), donate_argnums=(0,))
+
+    rng = np.random.default_rng(0)
+    db = {
+        "images": jax.device_put(rng.integers(0, 255, size=(batch, cfg.vision.image_size, cfg.vision.image_size, 3)).astype(np.uint8)),
+        "zs_preds": jax.device_put(rng.integers(0, 47, size=(batch,)).astype(np.int32)),
+        "gt_labels": jax.device_put(rng.integers(0, 47, size=(batch,)).astype(np.int32)),
+    }
+    for i in range(3):
+        state, m = step(state, db, jax.random.PRNGKey(i))
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, db, jax.random.PRNGKey(100 + i))
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    print(f"flyp step {model} bs{batch} remat={remat}: {dt*1e3:8.1f} ms  {batch/dt:7.1f} img/s")
+    return dt
+
+
 def bench_towers(model="ViT-B-16", batch=512):
     """Time vision-only and text-only value+grad at step shapes."""
     import jax
@@ -236,6 +278,8 @@ def main():
     elif which == "step":
         bench_step(remat=True)
         bench_step(remat=True, augment=False)
+    elif which == "flyp":
+        bench_flyp_step(remat=True)
     elif which == "towers":
         bench_towers()
     else:
