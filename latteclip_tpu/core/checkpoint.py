@@ -341,28 +341,64 @@ def pt_state_dict_to_params(
 
     visual = {
         "patch_kernel": patch_kernel,
-        "class_embedding": f32("visual.class_embedding"),
         "pos_embed": vis_pos,
         "ln_pre_scale": f32("visual.ln_pre.weight"),
         "ln_pre_bias": f32("visual.ln_pre.bias"),
         "blocks": _stack_blocks(sd, "visual.transformer.", cfg.vision.layers),
         "ln_post_scale": f32("visual.ln_post.weight"),
         "ln_post_bias": f32("visual.ln_post.bias"),
-        "proj": f32("visual.proj"),
     }
-    text = {
-        "token_embedding": f32("token_embedding.weight"),
-        "pos_embed": f32("positional_embedding"),
-        "blocks": _stack_blocks(sd, "transformer.", cfg.text.layers),
-        "ln_final_scale": f32("ln_final.weight"),
-        "ln_final_bias": f32("ln_final.bias"),
-        "text_projection": f32("text_projection"),
+    # SigLIP-family extras: no class token / final proj, conv bias, MAP head
+    if "visual.class_embedding" in sd:
+        visual["class_embedding"] = f32("visual.class_embedding")
+    if "visual.proj" in sd:
+        visual["proj"] = f32("visual.proj")
+    if "visual.conv1.bias" in sd:
+        visual["patch_bias"] = f32("visual.conv1.bias")
+    map_head = {
+        k[len("latteclip.visual.map_head."):]: np.asarray(v, np.float32)
+        for k, v in sd.items() if k.startswith("latteclip.visual.map_head.")
     }
+    if map_head:
+        visual["map_head"] = map_head
+
+    from latteclip_tpu.models.hf_text import HFTextConfig
+
+    if isinstance(cfg.text, HFTextConfig):
+        # CustomTextCLIP naming: HF weights under text.transformer.*, the
+        # projection under text.proj[.N].weight (reference hf_model.py)
+        from latteclip_tpu.models.hf_text import import_hf_state_dict
+
+        # _normalize_state_dict has already folded the "text." prefix away
+        # (CustomTextCLIP layout), leaving "transformer.*" + "proj*" keys
+        prefix = "text.transformer." if any(k.startswith("text.transformer.") for k in sd) \
+            else "transformer."
+        pp = prefix[:len(prefix) - len("transformer.")]
+        hf_sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+        text = import_hf_state_dict(hf_sd, cfg.text)
+        if f"{pp}proj.weight" in sd:
+            text["proj_w"] = f32(f"{pp}proj.weight").T.copy()
+        if f"{pp}proj.0.weight" in sd:
+            text["proj1_w"] = f32(f"{pp}proj.0.weight").T.copy()
+            text["proj2_w"] = f32(f"{pp}proj.2.weight").T.copy()
+    else:
+        text = {
+            "token_embedding": f32("token_embedding.weight"),
+            "pos_embed": f32("positional_embedding"),
+            "blocks": _stack_blocks(sd, "transformer.", cfg.text.layers),
+            "ln_final_scale": f32("ln_final.weight"),
+            "ln_final_bias": f32("ln_final.bias"),
+            "text_projection": f32("text_projection"),
+        }
+        if "latteclip.text.text_projection_b" in sd:
+            text["text_projection_b"] = f32("latteclip.text.text_projection_b")
     params = {
         "visual": visual,
         "text": text,
         "logit_scale": np.asarray(sd["logit_scale"], dtype=np.float32).reshape(()),
     }
+    if "logit_bias" in sd:
+        params["logit_bias"] = np.asarray(sd["logit_bias"], np.float32).reshape(())
     params = jax.tree.map(jnp.asarray, params)
     return params, memory_bank
 
@@ -403,21 +439,48 @@ def params_to_pt_state_dict(
     sd: Dict[str, np.ndarray] = {
         "logit_scale": params["logit_scale"].reshape(()),
         "visual.conv1.weight": np.ascontiguousarray(conv),
-        "visual.class_embedding": v["class_embedding"],
         "visual.positional_embedding": v["pos_embed"],
         "visual.ln_pre.weight": v["ln_pre_scale"],
         "visual.ln_pre.bias": v["ln_pre_bias"],
         "visual.ln_post.weight": v["ln_post_scale"],
         "visual.ln_post.bias": v["ln_post_bias"],
-        "visual.proj": v["proj"],
-        "token_embedding.weight": t["token_embedding"],
-        "positional_embedding": t["pos_embed"],
-        "ln_final.weight": t["ln_final_scale"],
-        "ln_final.bias": t["ln_final_bias"],
-        "text_projection": t["text_projection"],
     }
+    if "class_embedding" in v:
+        sd["visual.class_embedding"] = v["class_embedding"]
+    if "proj" in v:
+        sd["visual.proj"] = v["proj"]
+    if "patch_bias" in v:
+        sd["visual.conv1.bias"] = v["patch_bias"]
+    if "map_head" in v:  # SigLIP MAP head: flat self-interop namespace
+        for k, arr in v["map_head"].items():
+            sd[f"latteclip.visual.map_head.{k}"] = arr
+    if "logit_bias" in params:
+        sd["logit_bias"] = params["logit_bias"].reshape(())
     sd.update(_unstack_blocks(v["blocks"], "visual.transformer."))
-    sd.update(_unstack_blocks(t["blocks"], "transformer."))
+
+    from latteclip_tpu.models.hf_text import HFTextConfig
+
+    if isinstance(cfg.text, HFTextConfig):
+        from latteclip_tpu.models.hf_text import export_hf_state_dict
+
+        for k, arr in export_hf_state_dict(t, cfg.text).items():
+            sd[f"text.transformer.{k}"] = arr
+        if "proj_w" in t:
+            sd["text.proj.weight"] = np.ascontiguousarray(t["proj_w"].T)
+        if "proj1_w" in t:
+            sd["text.proj.0.weight"] = np.ascontiguousarray(t["proj1_w"].T)
+            sd["text.proj.2.weight"] = np.ascontiguousarray(t["proj2_w"].T)
+    else:
+        sd.update({
+            "token_embedding.weight": t["token_embedding"],
+            "positional_embedding": t["pos_embed"],
+            "ln_final.weight": t["ln_final_scale"],
+            "ln_final.bias": t["ln_final_bias"],
+            "text_projection": t["text_projection"],
+        })
+        if "text_projection_b" in t:
+            sd["latteclip.text.text_projection_b"] = t["text_projection_b"]
+        sd.update(_unstack_blocks(t["blocks"], "transformer."))
     if memory_bank is not None:
         assert classnames is not None and len(classnames) == len(memory_bank)
         for name, vec in zip(classnames, np.asarray(memory_bank, dtype=np.float32)):

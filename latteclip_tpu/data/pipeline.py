@@ -153,6 +153,17 @@ class PipelineConfig:
     # Replace the per-image caption with the lowercased ground-truth
     # classname (reference --train-with-gt-text, data.py:476-477; debugging)
     train_with_gt_text: bool = False
+    # On-device RandomResizedCrop: the host only decodes + downsizes each
+    # image ONCE to a fixed uint8 canvas (cached), samples the torchvision
+    # crop box in original coordinates, and ships (canvas, box); the batched
+    # antialiased bicubic crop+resize runs inside the jitted train step
+    # (transforms.device_random_resized_crop). Removes the per-epoch PIL
+    # resize that host-binds the loop on few-core machines.
+    ondevice_resize: bool = False
+    canvas_size: int = 256
+    # RandomResizedCrop area-scale range (--aug-cfg scale=..., reference
+    # AugmentationCfg; LatteCLIP forces (0.9, 1.0), main.py:233-235)
+    crop_scale: tuple = (0.9, 1.0)
 
 
 class TrainPipeline:
@@ -188,6 +199,8 @@ class TrainPipeline:
         img_bytes = raw.get("jpg") or raw.get("jpeg") or raw.get("png") or raw.get("webp")
         if img_bytes is None:
             return None
+        if self.cfg.ondevice_resize:
+            return self._assemble_ondevice(raw, image_id, img_bytes, rng)
         if self.cfg.use_native_jpeg and ("jpg" in raw or "jpeg" in raw):
             from latteclip_tpu.native import load_fastjpeg
 
@@ -195,7 +208,7 @@ class TrainPipeline:
             if fj is not None:
                 try:
                     w, h = fj.probe(img_bytes)
-                    left, top, cw, ch = T.random_crop_box(w, h, rng)
+                    left, top, cw, ch = T.random_crop_box(w, h, rng, self.cfg.crop_scale)
                     out = fj.decode_crop_resize(img_bytes, left, top, cw, ch, self.cfg.image_size)
                     arr = np.frombuffer(out, np.uint8).reshape(
                         self.cfg.image_size, self.cfg.image_size, 3
@@ -217,11 +230,48 @@ class TrainPipeline:
                         # benign under threads: worst case a duplicate store
                         self._decode_cache[image_id] = arr_full
                         self._decode_cache_used += arr_full.nbytes
-            arr = T.random_resized_crop(img, self.cfg.image_size, rng)
+            arr = T.random_resized_crop(img, self.cfg.image_size, rng, self.cfg.crop_scale)
         except Exception as e:  # tolerant decode, reference data.py:208-211
             logger.warning("decode failed for %s: %s", image_id, e)
             return None
         return self._finish_sample(raw, image_id, arr, rng)
+
+    def _assemble_ondevice(self, raw, image_id, img_bytes, rng) -> Optional[dict]:
+        """Canvas + crop-box sample for the on-device resize path."""
+        CV = self.cfg.canvas_size
+        try:
+            entry = self._decode_cache.get(image_id)
+            if entry is None:
+                import io as _io
+
+                img = T.load_rgb(_io.BytesIO(img_bytes))
+                w, h = img.size
+                f = min(1.0, CV / max(w, h))
+                sw, sh = max(1, round(w * f)), max(1, round(h * f))
+                if (sw, sh) != (w, h):
+                    img = img.resize((sw, sh), Image.BICUBIC)
+                canvas = np.zeros((CV, CV, 3), np.uint8)
+                canvas[:sh, :sw] = np.asarray(img, dtype=np.uint8)
+                entry = (canvas, sw, sh, w, h)
+                if (
+                    self.cfg.decode_cache_bytes
+                    and self._decode_cache_used + canvas.nbytes <= self.cfg.decode_cache_bytes
+                ):
+                    self._decode_cache[image_id] = entry
+                    self._decode_cache_used += canvas.nbytes
+            canvas, sw, sh, w, h = entry
+        except Exception as e:  # tolerant decode, reference data.py:208-211
+            logger.warning("decode failed for %s: %s", image_id, e)
+            return None
+        # torchvision box in ORIGINAL coordinates (exact reference
+        # semantics), mapped into the downsized canvas
+        left, top, cw, ch = T.random_crop_box(w, h, rng, self.cfg.crop_scale)
+        fx, fy = sw / w, sh / h
+        box = np.asarray([left * fx, top * fy, cw * fx, ch * fy], dtype=np.float32)
+        sample = self._finish_sample(raw, image_id, canvas, rng)
+        if sample is not None:
+            sample["crop_box"] = box
+        return sample
 
     def _finish_sample(self, raw: Dict[str, bytes], image_id: str, arr: np.ndarray,
                        rng: np.random.Generator) -> Optional[dict]:
@@ -299,13 +349,16 @@ class TrainPipeline:
         B = self.cfg.batch_size
         for _ in range(self.steps_per_epoch):
             samples = [next(stream) for _ in range(B)]
-            yield {
+            batch = {
                 "images": np.stack([s["image"] for s in samples]),
                 "per_image_tokens": np.stack([s["per_image_tokens"] for s in samples]).astype(np.int32),
                 "per_group_tokens": np.stack([s["per_group_tokens"] for s in samples]).astype(np.int32),
                 "zs_preds": np.asarray([s["zs_pred"] for s in samples], dtype=np.int32),
                 "gt_labels": np.asarray([s["gt"] for s in samples], dtype=np.int32),
             }
+            if self.cfg.ondevice_resize:
+                batch["crop_boxes"] = np.stack([s["crop_box"] for s in samples])
+            yield batch
 
 
 def prefetch(iterator: Iterator, size: int = 2) -> Iterator:

@@ -200,19 +200,53 @@ def color_augment(x: jnp.ndarray, rng: jax.Array, aug: AugConfig) -> jnp.ndarray
     return x
 
 
+def device_random_resized_crop(
+    batch_u8: jnp.ndarray, boxes: jnp.ndarray, size: int
+) -> jnp.ndarray:
+    """Batched crop+resize on device: uint8 canvases [B, CV, CV, 3] + boxes
+    [B, 4] (left, top, cw, ch in canvas pixels) -> f32 [B, size, size, 3] in
+    [0, 255].
+
+    Separable antialiased Keys-cubic resampling via per-sample
+    ``jax.image.scale_and_translate`` (vmapped) — measured ≤ 1/255 max
+    deviation from PIL's bicubic ``resize(box=...)`` on smooth images. This
+    replaces the host-side PIL resize that bottlenecks the full training
+    loop on few-core hosts (BASELINE.md: 273 img/s host-bound); the weight
+    build + two batched matmuls run on the MXU inside the train step.
+    """
+    boxes = boxes.astype(jnp.float32)
+
+    def one(img, box):
+        left, top, cw, ch = box[0], box[1], box[2], box[3]
+        scale = jnp.stack([size / ch, size / cw])
+        translation = jnp.stack([-top * size / ch, -left * size / cw])
+        return jax.image.scale_and_translate(
+            img.astype(jnp.float32), (size, size, 3), (0, 1),
+            scale, translation, method="cubic", antialias=True,
+        )
+
+    return jax.vmap(one)(batch_u8, boxes)
+
+
 def train_augment_normalize(
     batch_u8: jnp.ndarray,
     rng: jax.Array,
     aug: AugConfig = AugConfig(),
     mean: Tuple[float, ...] = OPENAI_MEAN,
     std: Tuple[float, ...] = OPENAI_STD,
+    boxes: jnp.ndarray = None,
+    size: int = 224,
 ) -> jnp.ndarray:
     """uint8 [B,H,W,3] -> augmented + normalized f32 (train path).
 
     Designed to be called *inside* the jitted train step so XLA fuses it with
-    the patchify matmul.
+    the patchify matmul. With ``boxes`` the geometry (RandomResizedCrop) also
+    runs on device over padded canvases (see ``device_random_resized_crop``).
     """
-    x = batch_u8.astype(jnp.float32) / 255.0
+    if boxes is not None:
+        x = jnp.clip(device_random_resized_crop(batch_u8, boxes, size), 0.0, 255.0) / 255.0
+    else:
+        x = batch_u8.astype(jnp.float32) / 255.0
     x = color_augment(x, rng, aug)
     m = jnp.asarray(mean, dtype=jnp.float32)
     s = jnp.asarray(std, dtype=jnp.float32)

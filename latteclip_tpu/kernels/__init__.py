@@ -73,7 +73,10 @@ def attention_core_qkv(
     slice/concat copies materialize around the kernel (they cost ~930 MB of
     HBM traffic per ViT-B layer with the 3-tensor interface).
     """
-    if _pallas_enabled():
+    head_dim = qkv.shape[-1] // 3 // num_heads
+    # head slicing along lanes requires 64/128-aligned head widths; other
+    # widths (e.g. SigLIP-SO400M's 72) take the XLA path
+    if _pallas_enabled() and head_dim in (64, 128):
         from latteclip_tpu.kernels.attention import flash_attention_qkv
 
         return flash_attention_qkv(qkv.astype(dtype), num_heads, causal)

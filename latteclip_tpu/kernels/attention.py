@@ -53,23 +53,50 @@ _QKT = (((2,), (2,)), ((0,), (0,)))    # [G,Lq,D] x [G,Lk,D] -> [G,Lq,Lk]
 _PV = (((2,), (1,)), ((0,), (0,)))     # [G,Lq,Lk] x [G,Lk,D] -> [G,Lq,D]
 _PT_DO = (((1,), (1,)), ((0,), (0,)))  # [G,Lq,Lk] x [G,Lq,D] -> [G,Lk,D]
 
-_VMEM_BUDGET = 12 * 1024 * 1024  # headroom under the ~16M scoped limit
+_VMEM_BUDGET = 10 * 1024 * 1024  # headroom under the ~16M scoped limit (the
+# scratch model underestimates Mosaic's true stack by ~1.4x — measured)
 
 
-def _fwd_bytes(g: int, l: int, hd: int) -> int:
-    # double-buffered io tiles (qkv in, o out) + per-head s f32 + pb bf16
+def _fwd_bytes(g: int, l: int, io_hd: int, iters: int, d: int) -> int:
+    # double-buffered io tiles (qkv in, o out) + per-head-iteration scratch:
+    # Mosaic does NOT reuse stack across the unrolled head loop (measured:
+    # 28.3M actual vs a 10M no-scratch estimate at G=16), so scratch scales
+    # with the iteration count
+    io = 2 * g * (3 * l * io_hd * 2 + l * io_hd * 2)
+    scratch = iters * g * (6 * l * l + 14 * l * d)
+    return io + scratch
+
+
+def _bwd_bytes(g: int, l: int, io_hd: int, iters: int, d: int) -> int:
+    io = 2 * g * (3 * l * io_hd * 2 + 2 * l * io_hd * 2 + 3 * l * io_hd * 2)
+    scratch = iters * g * (12 * l * l + 20 * l * d)
+    return io + scratch
+
+
+def _group_size(b: int, l: int, io_hd: int, cost_fn, iters: int, d: int) -> int:
+    for g in (32, 16, 8, 4, 2):
+        if cost_fn(g, l, io_hd, iters, d) <= _VMEM_BUDGET:
+            return g
+    return 1
+
+
+# -- legacy whole-row path: the original, measured-good formulas + budget ----
+
+_LEGACY_BUDGET = 12 * 1024 * 1024
+
+
+def _fwd_bytes_legacy(g: int, l: int, hd: int) -> int:
     return g * (2 * (3 * l * hd * 2 + l * hd * 2) + l * l * 4 + l * l * 2)
 
 
-def _bwd_bytes(g: int, l: int, hd: int) -> int:
-    # double-buffered io tiles (qkv, do, o in; dqkv out) + s,dp,p f32 + pb,ds bf16
+def _bwd_bytes_legacy(g: int, l: int, hd: int) -> int:
     return g * (2 * (3 * l * hd * 2 + 2 * l * hd * 2 + 3 * l * hd * 2)
                 + 3 * l * l * 4 + 2 * l * l * 2)
 
 
-def _group_size(b: int, l: int, hd: int, cost_fn) -> int:
+def _group_size_legacy(l: int, hd: int, cost_fn) -> int:
     for g in (16, 8, 4, 2):
-        if cost_fn(g, l, hd) <= _VMEM_BUDGET:
+        if cost_fn(g, l, hd) <= _LEGACY_BUDGET:
             return g
     return 1
 
@@ -88,6 +115,87 @@ def _causal_bias(L: int) -> jnp.ndarray:
     rows = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
     return jnp.where(cols > rows, NEG_INF, 0.0).astype(jnp.float32)
+
+
+def _fwd_kernel_hs(q_ref, k_ref, v_ref, o_ref, lse_ref, *, qscale, HP, D, causal):
+    """Head-split forward: the grid also ranges over head groups, so each
+    program touches only ``HP`` heads' worth of lanes. q/k/v refs are three
+    lane-block views of the SAME packed [B, L, 3HD] array (different
+    index maps — pallas DMAs just those slices; a [B,L,3,HD] reshape was
+    tried first and pads its size-3 sublane dim to 8, 2.7x VMEM). lse lives
+    in the kernel-native layout ``[H/HP, HP, B, L]`` (block (1, HP, G, L)
+    keeps the last two dims Mosaic-tileable); callers ignore lse and the
+    bwd kernel reads the same layout."""
+    L = q_ref.shape[1]
+    bias = _causal_bias(L)[None] if causal else None
+    for hp in range(HP):
+        sl = slice(hp * D, (hp + 1) * D)
+        q = q_ref[:, :, sl].astype(jnp.float32)             # [G, L, D]
+        k = k_ref[:, :, sl].astype(jnp.bfloat16)
+        v = v_ref[:, :, sl].astype(jnp.bfloat16)
+        qs = (q * qscale).astype(jnp.bfloat16)              # fold scale*log2e
+        s2 = jax.lax.dot_general(qs, k, _QKT, preferred_element_type=jnp.float32)
+        if bias is not None:
+            s2 = s2 + bias
+        m2 = jnp.max(s2, axis=-1, keepdims=True)
+        pb = jnp.exp2(s2 - m2).astype(jnp.bfloat16)
+        l = jnp.sum(pb, axis=-1, keepdims=True, dtype=jnp.float32)
+        o = jax.lax.dot_general(pb, v, _PV, preferred_element_type=jnp.float32) / l
+        o_ref[:, :, sl] = o.astype(o_ref.dtype)
+        lse_ref[0, hp, :, :] = m2[..., 0] + jnp.log2(l[..., 0])
+
+
+def _bwd_kernel_hs(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dqkv_ref,
+                   *, qscale, scale, HP, D, causal):
+    L = q_ref.shape[1]
+    bias = _causal_bias(L)[None] if causal else None
+    for hp in range(HP):
+        sl = slice(hp * D, (hp + 1) * D)
+        q = q_ref[:, :, sl].astype(jnp.bfloat16)
+        k = k_ref[:, :, sl].astype(jnp.bfloat16)
+        v = v_ref[:, :, sl].astype(jnp.bfloat16)
+        o = o_ref[:, :, sl].astype(jnp.bfloat16)
+        do = do_ref[:, :, sl].astype(jnp.bfloat16)
+        lse2 = lse_ref[0, hp, :, :]                         # [G, L]
+
+        qs = (q.astype(jnp.float32) * qscale).astype(jnp.bfloat16)
+        s2 = jax.lax.dot_general(qs, k, _QKT, preferred_element_type=jnp.float32)
+        if bias is not None:
+            s2 = s2 + bias
+        p = jnp.exp2(s2 - lse2[..., None])
+        pb = p.astype(jnp.bfloat16)
+
+        dv = jax.lax.dot_general(pb, do, _PT_DO, preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, _QKT, preferred_element_type=jnp.float32)
+        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=-1, keepdims=True)
+        ds = (p * (dp - delta) * scale).astype(jnp.bfloat16)
+        dq = jax.lax.dot_general(ds, k, _PV, preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds, q, _PT_DO, preferred_element_type=jnp.float32)
+        # dqkv in [3, B, L, HD] layout: the (q|k|v, head) lane re-merge is a
+        # transpose XLA folds into the consuming in-proj backward GEMMs
+        dqkv_ref[0, :, :, sl] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[1, :, :, sl] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[2, :, :, sl] = dv.astype(dqkv_ref.dtype)
+
+
+def _head_split(num_heads: int, D: int) -> int:
+    """Heads per program for the head-split grid; 0 = not applicable.
+
+    EXPERIMENTAL, off by default (LATTECLIP_ATTN_HEADSPLIT=1 enables): the
+    variant is numerically verified (interpret-mode tests cover it) but the
+    remote TPU compile service takes pathologically long (>50 min) on the
+    multi-view grid, so it cannot be iterated or deployed here. Findings so
+    far are recorded in BASELINE.md (a [B,L,3,HD] reshape pads the size-3
+    sublane dim to 8 => 2.7x VMEM; three lane-block views of the packed
+    array avoid that)."""
+    import os
+
+    if os.environ.get("LATTECLIP_ATTN_HEADSPLIT", "0") != "1":
+        return 0
+    if D in (64, 128) and 128 // D and num_heads % max(1, 128 // D) == 0:
+        return 128 // D
+    return 0
 
 
 def _fwd_kernel(qkv_ref, o_ref, lse_ref, *, qscale, H, D, causal):
@@ -155,10 +263,46 @@ def _flash_fwd_impl(qkv, causal: bool, num_heads: int):
     B, L, HD3 = qkv.shape
     HD = HD3 // 3
     D = HD // num_heads
-    G = _group_size(B, L, HD, _fwd_bytes)
+    qscale = (D ** -0.5) * LOG2E
+    HP = _head_split(num_heads, D)
+    cost = pl.CostEstimate(
+        flops=4 * B * num_heads * L * L * D,
+        bytes_accessed=4 * B * L * HD * 2,
+        transcendentals=B * num_heads * L * L,
+    )
+
+    if HP:
+        HPD = HP * D
+        NB = HD // HPD  # lane blocks per stream
+        G = _group_size(B, L, HPD, _fwd_bytes, HP, D)
+        qkv = _pad_rows(qkv, G)
+        Bp = qkv.shape[0]
+        # three lane-block views of the same packed array (q | k | v)
+        stream = lambda s: pl.BlockSpec(  # noqa: E731
+            (G, L, HPD), lambda i, j, s=s: (i, 0, s * NB + j), memory_space=pltpu.VMEM
+        )
+        o, lse = pl.pallas_call(
+            functools.partial(_fwd_kernel_hs, qscale=qscale, HP=HP, D=D, causal=causal),
+            grid=(Bp // G, num_heads // HP),
+            in_specs=[stream(0), stream(1), stream(2)],
+            out_specs=[
+                pl.BlockSpec((G, L, HPD), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, HP, G, L), lambda i, j: (j, 0, i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((Bp, L, HD), dtype),
+                jax.ShapeDtypeStruct((num_heads // HP, HP, Bp, L), jnp.float32),
+            ],
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(qkv, qkv, qkv)
+        if Bp != B:
+            o, lse = o[:B], lse[:, :, :B]
+        return o, lse
+
+    G = _group_size_legacy(L, HD, _fwd_bytes_legacy)
     qkv = _pad_rows(qkv, G)
     Bp = qkv.shape[0]
-    qscale = (D ** -0.5) * LOG2E
 
     in_tile = pl.BlockSpec((G, L, HD3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out_tile = pl.BlockSpec((G, L, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -172,11 +316,7 @@ def _flash_fwd_impl(qkv, causal: bool, num_heads: int):
             jax.ShapeDtypeStruct((Bp, L, HD), dtype),
             jax.ShapeDtypeStruct((Bp, num_heads, L), jnp.float32),
         ],
-        cost_estimate=pl.CostEstimate(
-            flops=4 * Bp * num_heads * L * L * D,
-            bytes_accessed=4 * Bp * L * HD * 2,
-            transcendentals=Bp * num_heads * L * L,
-        ),
+        cost_estimate=cost,
         interpret=_interpret(),
     )(qkv)
     if Bp != B:
@@ -207,14 +347,57 @@ def _make_fa(num_heads: int):
         B, L, HD3 = qkv.shape
         HD = HD3 // 3
         D = HD // num_heads
-        G = _group_size(B, L, HD, _bwd_bytes)
+        scale = D ** -0.5
+        qscale = scale * LOG2E
+        HP = _head_split(num_heads, D)
+        cost = pl.CostEstimate(
+            flops=11 * B * num_heads * L * L * D,
+            bytes_accessed=10 * B * L * HD * 2,
+            transcendentals=B * num_heads * L * L,
+        )
+
+        if HP:
+            HPD = HP * D
+            NB = HD // HPD
+            G = _group_size(B, L, HPD, _bwd_bytes, HP, D)
+            qkv = _pad_rows(qkv, G)
+            o = _pad_rows(o, G)
+            do = _pad_rows(g.astype(qkv.dtype), G)
+            Bp = qkv.shape[0]
+            if Bp != B:  # lse is in kernel layout [H/HP, HP, B, L]
+                lse = jnp.pad(lse, ((0, 0), (0, 0), (0, Bp - B), (0, 0)))
+            stream = lambda s: pl.BlockSpec(  # noqa: E731
+                (G, L, HPD), lambda i, j, s=s: (i, 0, s * NB + j),
+                memory_space=pltpu.VMEM,
+            )
+            hd_tile = pl.BlockSpec((G, L, HPD), lambda i, j: (i, 0, j),
+                                   memory_space=pltpu.VMEM)
+            lse_spec = pl.BlockSpec((1, HP, G, L), lambda i, j: (j, 0, i, 0),
+                                    memory_space=pltpu.VMEM)
+            dqkv3 = pl.pallas_call(
+                functools.partial(_bwd_kernel_hs, qscale=qscale, scale=scale,
+                                  HP=HP, D=D, causal=causal),
+                grid=(Bp // G, num_heads // HP),
+                in_specs=[stream(0), stream(1), stream(2), hd_tile, hd_tile, lse_spec],
+                out_specs=pl.BlockSpec((3, G, L, HPD), lambda i, j: (0, i, 0, j),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((3, Bp, L, HD), qkv.dtype),
+                cost_estimate=cost,
+                interpret=_interpret(),
+            )(qkv, qkv, qkv, o, do, lse)
+            # [3, B, L, HD] -> [B, L, 3HD]: XLA folds this transpose into the
+            # in-proj backward GEMMs' dimension numbers (layout assignment)
+            dqkv = jnp.moveaxis(dqkv3, 0, 2).reshape(Bp, L, HD3)
+            if Bp != B:
+                dqkv = dqkv[:B]
+            return (dqkv,)
+
+        G = _group_size_legacy(L, HD, _bwd_bytes_legacy)
         qkv = _pad_rows(qkv, G)
         o = _pad_rows(o, G)
         do = _pad_rows(g.astype(qkv.dtype), G)
         lse = _pad_rows(lse, G)
         Bp = qkv.shape[0]
-        scale = D ** -0.5
-        qscale = scale * LOG2E
         in_tile = pl.BlockSpec((G, L, HD3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         hd_tile = pl.BlockSpec((G, L, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         lse_spec = pl.BlockSpec((G, num_heads, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -225,11 +408,7 @@ def _make_fa(num_heads: int):
             in_specs=[in_tile, hd_tile, hd_tile, lse_spec],
             out_specs=in_tile,
             out_shape=jax.ShapeDtypeStruct((Bp, L, HD3), qkv.dtype),
-            cost_estimate=pl.CostEstimate(
-                flops=11 * Bp * num_heads * L * L * D,
-                bytes_accessed=10 * Bp * L * HD * 2,
-                transcendentals=Bp * num_heads * L * L,
-            ),
+            cost_estimate=cost,
             interpret=_interpret(),
         )(qkv, o, do, lse)
         if Bp != B:

@@ -115,6 +115,6 @@ fused_ln_linear.defvjp(_fwd, _bwd)
 
 def ln_linear(x, scale, bias, w, wb, dtype):
     """Dispatch: fused pallas kernel on TPU (flag-gated) or unfused XLA."""
-    if _enabled():
+    if _enabled() and not isinstance(w, dict):  # int8 kernels use the XLA path
         return fused_ln_linear(x.astype(dtype), scale, bias, w, wb)
     return _unfused(x, scale, bias, w, wb, dtype)

@@ -317,3 +317,110 @@ def generate(
         if done.all():
             break
     return tokens
+
+
+def generate_beamsearch(
+    params: Params, cfg: CoCaConfig, images: jnp.ndarray,
+    *, num_beams: int = 6, num_beam_groups: int = 3, min_seq_len: int = 5,
+    seq_len: int = 30, sot_token_id: int = 49406, eot_token_id: int = 49407,
+) -> np.ndarray:
+    """Grouped beam search (reference ``_generate_beamsearch``,
+    coca_model.py:310-448, which drives HF's ``BeamSearchScorer``).
+
+    Semantics mirrored: beams split into ``num_beam_groups`` groups of
+    ``num_beams // num_beam_groups``; within a group the first beam starts
+    at score 0 and the rest at -1e9 (groups decorrelate through their
+    running scores); per step each group takes top ``2*group_size``
+    candidates over ``group_size * vocab``, finished (EOT) candidates are
+    banked and non-finished ones continue; EOT is masked while the sequence
+    is shorter than ``min_seq_len`` (MinLengthLogitsProcessor); final
+    hypothesis score is ``sum_logprob / len`` (HF length_penalty=1.0).
+
+    The decode itself is the same fixed-shape jitted step as :func:`generate`
+    — beams ride the batch axis, so one compilation serves every step.
+    """
+    dtype = jnp.dtype(cfg.compute_dtype)
+    B = images.shape[0]
+    ctx = cfg.text.context_length
+    sub = num_beams // num_beam_groups
+    assert sub * num_beam_groups == num_beams, "num_beam_groups must divide num_beams"
+
+    # beams ride the batch axis: encode each image once, repeat its tokens
+    _latent, image_embs = jax.jit(
+        lambda p, x: vit_mod.vit_forward(
+            p["visual"], cfg.vision, x, dtype=dtype,
+            quick_gelu=cfg.quick_gelu, output_tokens=True,
+        )
+    )(params, images)
+    image_embs = jnp.repeat(image_embs, num_beams, axis=0)
+
+    @jax.jit
+    def step_logits(p, tokens):
+        _lat, token_embs = coca_text_forward(
+            p["text"], cfg.text, tokens, pad_id=cfg.pad_id,
+            dtype=dtype, quick_gelu=cfg.quick_gelu,
+        )
+        return coca_decode(p["text_decoder"], cfg.multimodal, token_embs, image_embs,
+                           dtype=dtype, quick_gelu=cfg.quick_gelu)
+
+    BB = B * num_beams
+    tokens = np.full((BB, ctx), cfg.pad_id, dtype=np.int32)
+    tokens[:, 0] = sot_token_id
+    beam_scores = np.full((B, num_beams), -1e9, dtype=np.float64)
+    beam_scores[:, ::sub] = 0.0
+    beam_scores = beam_scores.reshape(BB)
+    # banked hypotheses per (batch, group): list of (avg_score, token_row)
+    hyps = [[[] for _ in range(num_beam_groups)] for _ in range(B)]
+
+    max_pos = min(seq_len, ctx)
+    for pos in range(1, max_pos):
+        logits = np.asarray(step_logits(params, jnp.asarray(tokens)))[:, pos - 1]
+        logits = logits.astype(np.float64)
+        # stable log-softmax
+        m = logits.max(-1, keepdims=True)
+        logp = logits - m - np.log(np.exp(logits - m).sum(-1, keepdims=True))
+        if pos < min_seq_len:  # MinLengthLogitsProcessor
+            logp[:, eot_token_id] = -np.inf
+        V = logp.shape[-1]
+
+        new_tokens = tokens.copy()
+        for b in range(B):
+            for gidx in range(num_beam_groups):
+                rows = [b * num_beams + gidx * sub + s for s in range(sub)]
+                scores = logp[rows] + beam_scores[rows][:, None]   # [sub, V]
+                flat = scores.reshape(-1)
+                top = np.argsort(flat)[::-1][: 2 * sub]
+                kept = 0
+                for cand in top:
+                    beam_i, tok = divmod(int(cand), V)
+                    src = rows[beam_i]
+                    cand_score = flat[cand]
+                    if tok == eot_token_id:
+                        seq = tokens[src].copy()
+                        seq[pos] = eot_token_id
+                        if len(hyps[b][gidx]) < sub:
+                            hyps[b][gidx].append((cand_score / (pos + 1), seq))
+                        continue
+                    if kept < sub:
+                        dst = rows[kept]
+                        new_tokens[dst] = tokens[src]
+                        new_tokens[dst, pos] = tok
+                        beam_scores[dst] = cand_score
+                        kept += 1
+                    if kept == sub:
+                        break
+        tokens = new_tokens
+        if all(len(g) >= sub for bh in hyps for g in bh):
+            break
+
+    out = np.full((B, ctx), cfg.pad_id, dtype=np.int32)
+    for b in range(B):
+        pool = [h for g in hyps[b] for h in g]
+        if not pool:  # no EOT reached: bank the running beams at final length
+            pool = [
+                (beam_scores[b * num_beams + i] / max_pos, tokens[b * num_beams + i])
+                for i in range(num_beams)
+            ]
+        best = max(pool, key=lambda t: t[0])
+        out[b] = best[1]
+    return out

@@ -287,6 +287,45 @@ def import_hf_state_dict(state_dict: Dict, cfg: HFTextConfig) -> Params:
     return params
 
 
+def export_hf_state_dict(params: Params, cfg: HFTextConfig) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`import_hf_state_dict`: param pytree -> HF-naming
+    torch ``state_dict`` arrays (kernels transposed back to ``(out, in)``)."""
+    b = params["blocks"]
+    sd: Dict[str, np.ndarray] = {
+        "embeddings.word_embeddings.weight": np.asarray(params["word_emb"], np.float32),
+        "embeddings.position_embeddings.weight": np.asarray(params["pos_emb"], np.float32),
+        "embeddings.token_type_embeddings.weight": np.asarray(params["type_emb"], np.float32),
+        "embeddings.LayerNorm.weight": np.asarray(params["emb_ln_scale"], np.float32),
+        "embeddings.LayerNorm.bias": np.asarray(params["emb_ln_bias"], np.float32),
+    }
+    names = [
+        ("q_w", "attention.self.query.weight", True),
+        ("q_b", "attention.self.query.bias", False),
+        ("k_w", "attention.self.key.weight", True),
+        ("k_b", "attention.self.key.bias", False),
+        ("v_w", "attention.self.value.weight", True),
+        ("v_b", "attention.self.value.bias", False),
+        ("attn_out_w", "attention.output.dense.weight", True),
+        ("attn_out_b", "attention.output.dense.bias", False),
+        ("attn_ln_scale", "attention.output.LayerNorm.weight", False),
+        ("attn_ln_bias", "attention.output.LayerNorm.bias", False),
+        ("inter_w", "intermediate.dense.weight", True),
+        ("inter_b", "intermediate.dense.bias", False),
+        ("out_w", "output.dense.weight", True),
+        ("out_b", "output.dense.bias", False),
+        ("out_ln_scale", "output.LayerNorm.weight", False),
+        ("out_ln_bias", "output.LayerNorm.bias", False),
+    ]
+    for i in range(cfg.layers):
+        for ours, theirs, transpose in names:
+            arr = np.asarray(b[ours][i], np.float32)
+            sd[f"encoder.layer.{i}.{theirs}"] = arr.T.copy() if transpose else arr
+    if "pooler_w" in params:
+        sd["pooler.dense.weight"] = np.asarray(params["pooler_w"], np.float32).T.copy()
+        sd["pooler.dense.bias"] = np.asarray(params["pooler_b"], np.float32)
+    return sd
+
+
 class HFTokenizer:
     """transformers AutoTokenizer adapter padded to ``context_length``
     (counterpart of reference ``tokenizer.py`` HFTokenizer). Requires the

@@ -67,6 +67,10 @@ def dense(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray], dtype: jnp.d
     # regardless, and a f32 intermediate would be kept live for backward
     # (it dominated HBM in no-remat configs) — bias add in dtype matches
     # torch-AMP semantics
+    if isinstance(w, dict) and "int8" in w:  # quantized kernel (models/quantize.py)
+        from latteclip_tpu.models.quantize import int8_dense
+
+        return int8_dense(x, w, b, dtype)
     y = jnp.dot(x.astype(dtype), w.astype(dtype), preferred_element_type=dtype)
     if b is not None:
         y = y + b.astype(dtype)
@@ -89,6 +93,54 @@ def mha(
 
     qkv = dense(x, p["in_proj_w"], p["in_proj_b"], dtype)        # [B, L, 3D]
     out = attention_core_qkv(qkv, num_heads, causal, dtype=dtype)  # [B, L, D]
+    return dense(out, p["out_proj_w"], p["out_proj_b"], dtype)
+
+
+def scaled_cosine_attention(
+    x: jnp.ndarray,
+    p: Params,
+    num_heads: int,
+    *,
+    causal: bool = False,
+    logit_scale_max: float = 4.6051702,  # log(1/0.01), reference transformer.py:96
+    dtype: jnp.dtype = jnp.bfloat16,
+) -> jnp.ndarray:
+    """Scaled-cosine attention (reference custom ``Attention``,
+    transformer.py:88-162): q/k are l2-normalized per head, scores scaled by
+    a learned per-head ``exp(clamp(logit_scale, max))``; optional learned
+    per-head output scaling (``head_scale``, the ``scale_heads`` variant).
+
+    Params: ``in_proj_w (D, 3D)``, ``in_proj_b``, ``out_proj_w``,
+    ``out_proj_b``, optional ``logit_scale (H, 1, 1)``, ``head_scale
+    (H, 1, 1)``. Plain-XLA path: the variant is config-reachable but cold
+    (the reference never instantiates it from any shipped config), so it
+    does not warrant a pallas kernel.
+    """
+    B, L, D = x.shape
+    hd = D // num_heads
+    qkv = dense(x, p["in_proj_w"], p.get("in_proj_b"), dtype)
+    q, k, v = (qkv[..., i * D:(i + 1) * D].reshape(B, L, num_heads, hd) for i in range(3))
+
+    if "logit_scale" in p:
+        qn = l2_normalize(q.astype(jnp.float32))
+        kn = l2_normalize(k.astype(jnp.float32))
+        s = jnp.einsum("bqhd,bkhd->bhqk", qn.astype(dtype), kn.astype(dtype),
+                       preferred_element_type=jnp.float32)
+        scale = jnp.exp(jnp.minimum(p["logit_scale"], logit_scale_max))
+        s = s * scale[None, :, 0, 0][:, :, None, None]
+    else:
+        s = jnp.einsum("bqhd,bkhd->bhqk", (q * hd ** -0.5).astype(dtype), k.astype(dtype),
+                       preferred_element_type=jnp.float32)
+    if causal:
+        i = jnp.arange(L)[:, None]
+        j = jnp.arange(L)[None, :]
+        s = s + jnp.where(j > i, -1e9, 0.0).astype(jnp.float32)
+    probs = jax.nn.softmax(s, axis=-1).astype(dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    if "head_scale" in p:  # scale_heads variant (transformer.py:121-124,155-157)
+        out = out * p["head_scale"][None, None, :, 0, 0][..., None]
+    out = out.reshape(B, L, D).astype(dtype)
     return dense(out, p["out_proj_w"], p["out_proj_b"], dtype)
 
 

@@ -272,6 +272,75 @@ def simple_mask_tokenize(
     return out
 
 
+_SYNTAX_STOPWORDS = frozenset(
+    "a an the of in on at to for with and or is are was were be been being "
+    "this that these those it its his her their our your my as by from".split()
+)
+_NOUN_SUFFIXES = ("tion", "ment", "ness", "ity", "ance", "ence", "ship", "ist", "ism")
+_ADJ_SUFFIXES = ("ful", "ous", "ive", "able", "ible", "al", "ish", "less", "est", "ed", "y")
+_VERB_SUFFIXES = ("ing", "ize", "ise", "ate", "ify")
+
+
+def _heuristic_pos_order(word: str) -> int:
+    """Fallback NN/JJ/VB/other priority when nltk data is unavailable
+    (suffix heuristics; nouns first, like the reference's ``get_order``)."""
+    w = word.lower()
+    if w in _SYNTAX_STOPWORDS or not w.isalpha():
+        return 4
+    if w.endswith(_NOUN_SUFFIXES):
+        return 1
+    if w.endswith(_VERB_SUFFIXES):
+        return 3
+    if w.endswith(_ADJ_SUFFIXES):
+        return 2
+    return 1  # bare content word: treat as noun (keep), like NN default
+
+
+def syntax_mask_tokenize(
+    tokenizer: ClipTokenizer,
+    texts: Union[str, Sequence[str]],
+    context_length: Optional[int] = None,
+) -> np.ndarray:
+    """Part-of-speech-prioritized reduction (reference ``syntax_mask_tokenize``,
+    tokenizer.py:325-394): words are ranked nouns(1) < adjectives(2) <
+    verbs(3) < other(4), the best ``ctx-2`` kept in original order, then
+    tokenized with truncation.
+
+    Uses nltk's tagger when its data is installed; in offline environments
+    (no ``punkt``/``averaged_perceptron_tagger``) a documented suffix/stop-
+    word heuristic provides the same keep-nouns-first behavior instead of
+    crashing (the reference hard-requires the nltk download).
+    """
+    if isinstance(texts, str):
+        texts = [texts]
+    ctx = context_length or tokenizer.context_length
+
+    def rank_words(text):
+        try:
+            import nltk
+
+            words = nltk.tokenize.word_tokenize(text)
+            tags = nltk.pos_tag(words)
+            order = {"N": 1, "J": 2, "V": 3}
+            return words, [order.get(t[:1], 4) if t[:2] in ("NN", "JJ", "VB") or t[:1] in "NJV" else 4
+                           for _, t in tags]
+        except Exception:
+            words = re.findall(r"[\w']+|[.,!?;]", text)
+            return words, [_heuristic_pos_order(w) for w in words]
+
+    out = np.zeros((len(texts), ctx), dtype=np.int32)
+    for row, text in enumerate(texts):
+        words, order = rank_words(text)
+        keep = sorted(np.argsort(np.asarray(order), kind="stable")[: ctx - 2])
+        reduced = " ".join(str(words[i]) for i in keep)
+        ids = [tokenizer.sot_token_id] + tokenizer.encode(reduced) + [tokenizer.eot_token_id]
+        if len(ids) > ctx:
+            ids = ids[:ctx]
+            ids[-1] = tokenizer.eot_token_id
+        out[row, : len(ids)] = ids
+    return out
+
+
 class HFTokenizerWrapper:
     """Adapter exposing a HuggingFace tokenizer with the ClipTokenizer
     calling convention (reference HFTokenizer, tokenizer.py:397-453)."""

@@ -85,8 +85,20 @@ def build_model(args):
     if args.pretrained:
         from latteclip_tpu.obs.file_sync import pt_load_path
 
-        params, bank_dict, _meta = ckpt.load_clip_pt(pt_load_path(args.pretrained), cfg)
-        logger.info("loaded pretrained weights from %s", args.pretrained)
+        pretrained_src = args.pretrained
+        if not (os.path.exists(pretrained_src) or pretrained_src.startswith("s3://")):
+            # registry tag like the reference: --pretrained laion2b_s34b_b79k
+            # resolves cache-first (core/pretrained.py; reference
+            # pretrained.py:560-585)
+            from latteclip_tpu.core.pretrained import get_pretrained_cfg, resolve_pretrained
+
+            pcfg = get_pretrained_cfg(args.model, pretrained_src)
+            if pcfg.get("quick_gelu") and not cfg.quick_gelu:
+                cfg = dataclasses.replace(cfg, quick_gelu=True)
+                logger.info("pretrained tag implies QuickGELU; enabled")
+            pretrained_src = resolve_pretrained(args.model, args.pretrained)
+        params, bank_dict, _meta = ckpt.load_clip_pt(pt_load_path(pretrained_src), cfg)
+        logger.info("loaded pretrained weights from %s", pretrained_src)
     else:
         params = clip_mod.init_clip_params(jax.random.PRNGKey(args.seed), cfg)
         bank_dict = {}
@@ -106,6 +118,24 @@ def _synthetic_root(args, cfg) -> str:
         image_size=cfg.vision.image_size,
     )
     return root
+
+
+def _build_aug_config(aug_cfg: dict):
+    """--aug-cfg key=value overrides -> transforms.AugConfig (reference
+    params.py:549 + transform.py AugmentationCfg; unknown keys warn)."""
+    from latteclip_tpu.data.transforms import AugConfig
+
+    kw = {}
+    for key, value in (aug_cfg or {}).items():
+        if key == "scale":
+            kw["scale_min"], kw["scale_max"] = float(value[0]), float(value[1])
+        elif key == "color_jitter":
+            kw["color_jitter"] = tuple(float(v) for v in value)
+        elif key in ("color_jitter_prob", "gray_scale_prob"):
+            kw[key] = float(value)
+        else:
+            logger.warning("ignoring unsupported --aug-cfg key: %s", key)
+    return AugConfig(**kw)
 
 
 def main(argv=None) -> int:
@@ -231,6 +261,7 @@ def main(argv=None) -> int:
         logger.info("group weights written to %s", args.extract_group_weight_path)
         return 0
 
+    aug = _build_aug_config(args.aug_cfg)
     pipe_cfg = PipelineConfig(
         batch_size=args.batch_size,
         image_size=cfg.vision.image_size,
@@ -240,6 +271,8 @@ def main(argv=None) -> int:
         host_count=jax.process_count(),
         use_native_jpeg=args.use_native_jpeg,
         train_with_gt_text=args.train_with_gt_text,
+        ondevice_resize=args.ondevice_resize,
+        crop_scale=(aug.scale_min, aug.scale_max),
     )
     pipeline = TrainPipeline(data, pipe_cfg, num_samples)
     total_steps = pipeline.steps_per_epoch * args.epochs
@@ -277,7 +310,7 @@ def main(argv=None) -> int:
             raise SystemExit("--siglip applies to the contrastive baseline "
                              "paths (--method flyp/flyp_gt), matching the "
                              "reference's create_loss wiring")
-        step_fn = make_train_step(cfg, optimizer, hp, table)
+        step_fn = make_train_step(cfg, optimizer, hp, table, aug=aug)
     else:
         if args.siglip and "logit_bias" not in params:
             # reference SigLIP configs carry init_logit_bias (-10); inject it
@@ -296,7 +329,7 @@ def main(argv=None) -> int:
         step_fn = make_flyp_step(
             cfg, optimizer, hp, table,
             use_gt=(args.method == "flyp_gt"), use_siglip=args.siglip,
-            teacher=teacher,
+            teacher=teacher, aug=aug,
         )
 
     state = create_train_state(params, optimizer, bank)

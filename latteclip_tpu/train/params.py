@@ -11,6 +11,21 @@ parallelism is the mesh, and every step is compiled by construction.
 from __future__ import annotations
 
 import argparse
+import ast
+
+
+class ParseKwargs(argparse.Action):
+    """``--aug-cfg key=value ...`` parser (reference params.py:14-24)."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        kw = {}
+        for value in values:
+            key, value = value.split("=")
+            try:
+                kw[key] = ast.literal_eval(value)
+            except (ValueError, SyntaxError):
+                kw[key] = str(value)
+        setattr(namespace, self.dest, kw)
 
 
 def parse_args(argv=None) -> argparse.Namespace:
@@ -88,6 +103,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--train-with-gt-text", action="store_true", default=False,
                    help="replace the per-image caption with the lowercased "
                         "gt classname (reference data.py:476-477; debugging)")
+    p.add_argument("--ondevice-resize", action="store_true", default=False,
+                   help="run RandomResizedCrop on device over cached uint8 "
+                        "canvases (host only decodes each image once); "
+                        "removes the PIL-resize host bottleneck")
     p.add_argument("--use-native-jpeg", action="store_true", default=False,
                    help="native fused JPEG decode+crop+resize for train "
                         "augmentation (latteclip_tpu/native)")
@@ -95,6 +114,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="remote dir (s3:// or mounted path) to mirror the "
                         "run dir into (reference file_utils.py:54-61)")
     p.add_argument("--remote-sync-frequency", type=int, default=300)
+    p.add_argument("--aug-cfg", nargs="*", default={}, action=ParseKwargs,
+                   help="augmentation overrides as key=value pairs "
+                        "(reference params.py:549): scale=(0.9,1.0), "
+                        "color_jitter=(0.5,0.5,0.5,0.1), color_jitter_prob, "
+                        "gray_scale_prob")
     p.add_argument("--distill-model", type=str, default=None,
                    help="teacher architecture for distillation (reference "
                         "params.py --distill-model; applies to flyp/flyp_gt)")

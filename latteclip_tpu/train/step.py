@@ -252,7 +252,10 @@ def make_train_step(
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         if hp.augment:
-            images = T.train_augment_normalize(batch["images"], rng, aug)
+            images = T.train_augment_normalize(
+                batch["images"], rng, aug,
+                boxes=batch.get("crop_boxes"), size=cfg.vision.image_size,
+            )
         else:
             images = T.normalize_images(batch["images"])
 
@@ -356,7 +359,10 @@ def make_flyp_step(
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         if hp.augment:
-            images = T.train_augment_normalize(batch["images"], rng, aug)
+            images = T.train_augment_normalize(
+                batch["images"], rng, aug,
+                boxes=batch.get("crop_boxes"), size=cfg.vision.image_size,
+            )
         else:
             images = T.normalize_images(batch["images"])
         grad_fn = jax.value_and_grad(flyp_loss_fn, has_aux=True)

@@ -213,3 +213,27 @@ def test_siglip_config_registered():
 
     params = clip_mod.init_clip_params(jax.random.PRNGKey(0), tiny_cfg())
     assert "logit_bias" in params and "class_embedding" not in params["visual"]
+
+
+def test_siglip_checkpoint_roundtrip(npz_path, tmp_path):
+    """SigLIP params survive the OpenCLIP-format .pt save/load cycle
+    (map_head/patch_bias/proj-less vision, text proj bias, logit bias)."""
+    from latteclip_tpu.core.checkpoint import load_clip_pt, save_clip_pt
+
+    cfg = tiny_cfg()
+    params = load_big_vision_npz(npz_path, cfg)
+    path = str(tmp_path / "siglip.pt")
+    save_clip_pt(path, params, cfg)
+    loaded, _bank, _meta = load_big_vision_roundtrip = load_clip_pt(path, cfg)
+
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(rng.standard_normal((2, IMG, IMG, 3)).astype(np.float32))
+    a = np.asarray(clip_mod.encode_image(params, cfg, imgs))
+    b = np.asarray(clip_mod.encode_image(loaded, cfg, imgs))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    ids = jnp.asarray(rng.integers(0, VOCAB, size=(2, CTX)).astype(np.int32))
+    np.testing.assert_allclose(
+        np.asarray(clip_mod.encode_text(params, cfg, ids)),
+        np.asarray(clip_mod.encode_text(loaded, cfg, ids)), atol=1e-6,
+    )
+    assert float(loaded["logit_bias"]) == pytest.approx(-10.0)

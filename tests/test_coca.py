@@ -119,3 +119,25 @@ def test_coca_generate():
     assert (toks[:, 0] == 1).all()
     toks_tk = generate(params, cfg, images, seq_len=6, top_k=3, sot_token_id=1, eot_token_id=2)
     assert toks_tk.shape == toks.shape
+
+
+def test_coca_generate_beamsearch():
+    from latteclip_tpu.models.coca import generate_beamsearch
+
+    cfg = _cfg()
+    params = init_coca_params(jax.random.PRNGKey(0), cfg)
+    images = np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32)
+    toks = generate_beamsearch(
+        params, cfg, images, num_beams=4, num_beam_groups=2,
+        min_seq_len=2, seq_len=8, sot_token_id=1, eot_token_id=2,
+    )
+    assert toks.shape == (2, cfg.text.context_length)
+    assert (toks[:, 0] == 1).all()
+    # deterministic
+    again = generate_beamsearch(
+        params, cfg, images, num_beams=4, num_beam_groups=2,
+        min_seq_len=2, seq_len=8, sot_token_id=1, eot_token_id=2,
+    )
+    np.testing.assert_array_equal(toks, again)
+    # min-length: no EOT before position min_seq_len
+    assert not (toks[:, 1:2] == 2).any()

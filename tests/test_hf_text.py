@@ -127,3 +127,32 @@ def test_hf_text_config_resolution():
 
     with pytest.raises(ValueError, match="no native tower"):
         hf_text_config({"hf_model_name": "google/mt5-base", "model_type": "mt5"})
+
+
+def test_hf_clip_checkpoint_roundtrip(tmp_path):
+    """HF-text CLIP params survive the .pt cycle via CustomTextCLIP naming
+    (text.transformer.* HF keys + text.proj)."""
+    from latteclip_tpu.core.checkpoint import load_clip_pt, save_clip_pt
+    from latteclip_tpu.core.config import config_from_dict
+    from latteclip_tpu.models import clip as clip_mod
+
+    cfg = config_from_dict("tiny-hf", {
+        "embed_dim": 16,
+        "compute_dtype": "float32",
+        "vision_cfg": {"image_size": 32, "layers": 2, "width": 64, "patch_size": 16},
+        "text_cfg": {
+            "hf_model_name": "", "model_type": "roberta", "vocab_size": V,
+            "width": D, "layers": L, "heads": H, "intermediate": M,
+            "max_positions": P, "pad_id": 1, "proj": "mlp",
+        },
+    })
+    params = clip_mod.init_clip_params(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "hf.pt")
+    save_clip_pt(path, params, cfg)
+    loaded, _bank, _meta = load_clip_pt(path, cfg)
+
+    ids = jnp.asarray(np.random.default_rng(0).integers(2, V, size=(2, 10)).astype(np.int32))
+    np.testing.assert_allclose(
+        np.asarray(clip_mod.encode_text(params, cfg, ids)),
+        np.asarray(clip_mod.encode_text(loaded, cfg, ids)), atol=1e-6,
+    )

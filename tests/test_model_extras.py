@@ -91,3 +91,23 @@ def test_attentional_pool_forward():
     feats = encode_image(params, cfg, imgs, normalize=True)
     assert feats.shape == (2, cfg.embed_dim)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(feats), axis=-1), 1.0, atol=1e-5)
+
+
+def test_all_shipped_configs_parse():
+    from latteclip_tpu.core.config import CoCaConfig, get_model_config, list_models
+
+    models = list_models()
+    assert len(models) >= 50
+    for name in models:
+        cfg = get_model_config(name)
+        if isinstance(cfg, CoCaConfig):
+            assert cfg.multimodal.layers > 0
+            continue
+        assert cfg.embed_dim > 0 and cfg.text.width > 0
+        v = cfg.vision
+        if hasattr(v, "patch_size"):
+            assert v.width % v.head_width == 0, name
+    # families that must be present for the pretrained registry
+    for name in ("RN50x4", "RN50x64", "ViT-bigG-14", "ViT-e-14",
+                 "ViT-SO400M-14-SigLIP", "coca_ViT-L-14", "ViT-S-32"):
+        assert name in models, name

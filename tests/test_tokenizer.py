@@ -62,3 +62,27 @@ def test_eot_is_argmax(tok):
     """EOT must be the max token id per row — text pooling relies on argmax."""
     out = tok(["a photo of a dog.", "banded texture."])
     assert (out.argmax(axis=-1) == (out == tok.eot_token_id).argmax(axis=-1)).all()
+
+
+def test_syntax_mask_tokenize():
+    from latteclip_tpu.models.tokenizer import get_tokenizer, syntax_mask_tokenize
+
+    tok = get_tokenizer()
+    long_text = " ".join(
+        ["the quick brown fox jumps over a lazy dog near the shimmering river"] * 10
+    )
+    out = syntax_mask_tokenize(tok, long_text, context_length=24)
+    assert out.shape == (1, 24)
+    assert out[0, 0] == tok.sot_token_id and tok.eot_token_id in out[0]
+    decoded = tok.decode(
+        [t for t in out[0] if t not in (0, tok.sot_token_id, tok.eot_token_id)]
+    )
+    # content words survive the reduction, function words are dropped first
+    assert "fox" in decoded and "river" in decoded
+    assert " the " not in f" {decoded} "
+
+    # short texts pass through unreduced (modulo tokenization round-trip)
+    short = syntax_mask_tokenize(tok, "a photo of a cat", context_length=77)
+    full = tok(["a photo of a cat"])
+    n = int((short[0] != 0).sum())
+    assert n <= int((full[0] != 0).sum())

@@ -124,7 +124,9 @@ def worker(process_id: int) -> None:
         save_epoch_checkpoint(state, cfg, classes, loop_cfg, epoch=1)
     multihost_utils.sync_global_devices("checkpoint_written")
 
-    # continuation path: one more step from the live state
+    # continuation path: one more step from the live state. The step donates
+    # its input state, so snapshot what the resume path needs FIRST.
+    proto_snapshot = np.asarray(state.prototypes)
     batch = global_batch_from_local(local_batch, mesh)
     _, m_cont = sharded_step(state, batch, jax.random.PRNGKey(99))
     cont_loss = float(m_cont["loss"])
@@ -139,7 +141,7 @@ def worker(process_id: int) -> None:
     )
     r_state = r_state.replace(step=jnp.asarray(int(r_meta["step"]), jnp.int32))
     r_state = r_state.replace(opt_state=ckpt.restore_opt_state(r_state.opt_state, r_meta["optimizer"]))
-    r_state = r_state.replace(prototypes=state.prototypes)  # epoch snapshot, set by start_epoch
+    r_state = r_state.replace(prototypes=proto_snapshot)  # epoch snapshot, set by start_epoch
     r_state = replicate(r_state, mesh)
     _, m_res = sharded_step(r_state, batch, jax.random.PRNGKey(99))
     res_loss = float(m_res["loss"])
@@ -165,7 +167,9 @@ def main() -> int:
         )
         for pid in range(NUM_PROCESSES)
     ]
-    outputs = [p.communicate(timeout=900)[0] for p in procs]
+    # generous: 2 procs share one core here and each compiles the full
+    # train step + eval + resume-step programs
+    outputs = [p.communicate(timeout=2400)[0] for p in procs]
     ok = all(p.returncode == 0 for p in procs)
     losses, checksums, evals, tails = {}, {}, {}, {}
     for out in outputs:
