@@ -94,12 +94,14 @@ def run(model: str = MODEL, batch: int = BATCH, remat: bool = False) -> dict:
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * MEASURE_STEPS / dt
-    baseline = REFERENCE_V100_IMG_PER_SEC.get(model, REFERENCE_V100_IMG_PER_SEC[MODEL])
+    baseline = REFERENCE_V100_IMG_PER_SEC.get(model)
     return {
         "metric": f"finetune_images_per_sec_per_chip_{model.replace('-', '').lower()}",
         "value": round(imgs_per_sec, 2),
         "unit": "images/s/chip",
-        "vs_baseline": round(imgs_per_sec / baseline, 3),
+        # no silently-wrong ratios: models without a derived per-config
+        # baseline report null rather than dividing by another config's
+        "vs_baseline": round(imgs_per_sec / baseline, 3) if baseline else None,
     }
 
 

@@ -250,8 +250,16 @@ class TrainPipeline:
                 sw, sh = max(1, round(w * f)), max(1, round(h * f))
                 if (sw, sh) != (w, h):
                     img = img.resize((sw, sh), Image.BICUBIC)
-                canvas = np.zeros((CV, CV, 3), np.uint8)
-                canvas[:sh, :sw] = np.asarray(img, dtype=np.uint8)
+                content = np.asarray(img, dtype=np.uint8)
+                # edge-replicate into the padding: the device resampler's
+                # antialias tails read past the crop edge, and PIL clamps at
+                # the image border — zero padding would darken border rows of
+                # every non-square image (measured ~4% on constant images)
+                canvas = np.empty((CV, CV, 3), np.uint8)
+                canvas[:sh, :sw] = content
+                canvas[:sh, sw:] = content[:, -1:]
+                canvas[sh:, :sw] = content[-1:, :]
+                canvas[sh:, sw:] = content[-1:, -1:]
                 entry = (canvas, sw, sh, w, h)
                 if (
                     self.cfg.decode_cache_bytes

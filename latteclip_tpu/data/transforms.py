@@ -53,9 +53,30 @@ class AugConfig:
 # Host-side geometry (PIL; exact torchvision-PIL parity)
 # ---------------------------------------------------------------------------
 
-def eval_resize_crop(img: Image.Image, size: int) -> np.ndarray:
-    """Resize shortest edge to ``size`` (bicubic) + center crop -> uint8 HWC."""
+def eval_resize_crop(img: Image.Image, size: int, resize_mode: str = "shortest") -> np.ndarray:
+    """Eval geometry -> uint8 [size, size, 3] (reference transform.py:378-401
+    + the v2 modes, transform.py:411-425):
+
+    * ``shortest`` (CLIP default): resize shortest edge to ``size``
+      (bicubic) + center crop;
+    * ``squash`` (SigLIP): resize both edges to ``size`` (aspect distorts);
+    * ``longest`` (CenterCropOrPad): resize longest edge to ``size``, pad
+      the other to square with black.
+    """
     w, h = img.size
+    if resize_mode == "squash":
+        img = img.resize((size, size), Image.BICUBIC)
+        return np.asarray(img, dtype=np.uint8)
+    if resize_mode == "longest":
+        scale = size / max(w, h)
+        new_w, new_h = max(1, round(w * scale)), max(1, round(h * scale))
+        img = img.resize((new_w, new_h), Image.BICUBIC)
+        canvas = np.zeros((size, size, 3), np.uint8)
+        top, left = (size - new_h) // 2, (size - new_w) // 2
+        canvas[top:top + new_h, left:left + new_w] = np.asarray(img, dtype=np.uint8)
+        return canvas
+    if resize_mode != "shortest":
+        raise ValueError(f"unknown resize_mode: {resize_mode}")
     if w <= h:
         new_w, new_h = size, max(size, int(round(size * h / w)))
     else:

@@ -38,12 +38,17 @@ def xla_attention(
     v: jnp.ndarray,
     causal: bool = False,
     dtype: jnp.dtype = jnp.bfloat16,
+    bias: jnp.ndarray = None,
 ) -> jnp.ndarray:
-    """Reference attention in plain XLA. q/k/v: [B, L, H, Hd] -> [B, L, H, Hd].
+    """Reference attention in plain XLA. q: [B, Lq, H, Hd], k/v:
+    [B, Lk, H, Hd] -> [B, Lq, H, Hd]; ``bias`` is an optional additive f32
+    logit bias broadcastable to [B, H, Lq, Lk] (padding masks, ALiBi, ...).
 
     Logit accumulation and softmax in f32 (matches torch-AMP semantics of
     the reference's nn.MultiheadAttention path, reference
-    src/open_clip/transformer.py:202,227-229).
+    src/open_clip/transformer.py:202,227-229). This is the single XLA
+    attention core — the HF text towers and the SigLIP MAP head reuse it so
+    precision semantics stay in one place.
     """
     head_dim = q.shape[-1]
     scale = head_dim ** -0.5
@@ -53,6 +58,8 @@ def xla_attention(
     )
     if causal:
         logits = logits + causal_bias(q.shape[1])
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum(
         "bhqk,bkhd->bqhd", probs.astype(dtype), v.astype(dtype),

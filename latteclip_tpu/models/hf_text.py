@@ -59,6 +59,7 @@ class HFTextConfig:
     factory, model.py:141-150)."""
 
     model_name: str = ""
+    tokenizer_name: str = ""        # hf_tokenizer_name from the model JSON
     model_type: str = "roberta"     # 'bert' | 'roberta' | 'xlm-roberta'
     vocab_size: int = 50265
     width: int = 768
@@ -96,6 +97,7 @@ def hf_text_config(text_raw: Dict) -> HFTextConfig:
             f"{SUPPORTED_MODEL_TYPES}); registry entry: {arch_dict.get(mt)}"
         )
     base["model_name"] = name
+    base["tokenizer_name"] = text_raw.get("hf_tokenizer_name", name)
     # reference JSON key spellings: hf_pooler_type / hf_proj_type / proj
     if text_raw.get("hf_pooler_type") is not None:
         base["pooler_type"] = text_raw["hf_pooler_type"]
@@ -156,17 +158,15 @@ def _ln(x, scale, bias, eps):
 
 
 def _masked_attention(x, p, mask_bias, num_heads, dtype):
+    from latteclip_tpu.kernels import xla_attention
+
     B, T, D = x.shape
     hd = D // num_heads
     q = layers.dense(x, p["q_w"], p["q_b"], dtype).reshape(B, T, num_heads, hd)
     k = layers.dense(x, p["k_w"], p["k_b"], dtype).reshape(B, T, num_heads, hd)
     v = layers.dense(x, p["v_w"], p["v_b"], dtype).reshape(B, T, num_heads, hd)
-    s = jnp.einsum("bqhd,bkhd->bhqk", q * hd ** -0.5, k,
-                   preferred_element_type=jnp.float32)
-    s = s + mask_bias[:, None, None, :]
-    probs = jax.nn.softmax(s, axis=-1).astype(dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
-    return out.reshape(B, T, D).astype(dtype)
+    out = xla_attention(q, k, v, dtype=dtype, bias=mask_bias[:, None, None, :])
+    return out.reshape(B, T, D)
 
 
 def hf_text_forward(

@@ -27,9 +27,11 @@ Params = Dict[str, Any]
 LN_EPS = 1e-5
 
 # Which named intermediates per-block remat pins instead of recomputing.
-# Override via LATTECLIP_REMAT_SAVE (comma-separated) — e.g. adding
-# "qkv_proj" trades ~465 MB/layer of HBM (ViT-B/16 bs512) for skipping the
-# LN+QKV GEMM in every backward block.
+# Override via LATTECLIP_REMAT_SAVE (comma-separated). Names are per-tower
+# suffixed: "qkv_proj_v"/"qkv_proj_t", "attn_res_v"/"attn_res_t",
+# "mlp_act_v"/"mlp_act_t" — e.g. adding "qkv_proj_v" trades ~465 MB/layer of
+# HBM (ViT-B/16 bs512) for skipping the vision LN+QKV GEMM recompute
+# (tools/remat_sweep.py measures the options).
 import os as _os
 
 REMAT_SAVE_NAMES = tuple(
@@ -75,25 +77,6 @@ def dense(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray], dtype: jnp.d
     if b is not None:
         y = y + b.astype(dtype)
     return y
-
-
-def mha(
-    x: jnp.ndarray,
-    p: Params,
-    num_heads: int,
-    causal: bool,
-    dtype: jnp.dtype,
-) -> jnp.ndarray:
-    """Multi-head self-attention on ``[B, L, D]``.
-
-    Logits and softmax in f32 (AMP-equivalent), value matmul in compute
-    dtype; optional causal masking.
-    """
-    from latteclip_tpu.kernels import attention_core_qkv
-
-    qkv = dense(x, p["in_proj_w"], p["in_proj_b"], dtype)        # [B, L, 3D]
-    out = attention_core_qkv(qkv, num_heads, causal, dtype=dtype)  # [B, L, D]
-    return dense(out, p["out_proj_w"], p["out_proj_b"], dtype)
 
 
 def scaled_cosine_attention(
@@ -213,8 +196,8 @@ def transformer_stack(
         # plus lse, so with out/lse pinned the backward recompute eliminates
         # the attention forward entirely (lse is a primal output of the
         # custom_vjp precisely to enable this). REMAT_SAVE_NAMES may
-        # additionally pin "qkv_proj" (the fused projection output) to skip
-        # the LN+QKV GEMM recompute when HBM allows.
+        # additionally pin the tower-suffixed intermediates ("qkv_proj_v",
+        # "attn_res_t", ...) to skip GEMM recomputes when HBM allows.
         policy = jax.checkpoint_policies.save_only_these_names(*REMAT_SAVE_NAMES)
         body = jax.checkpoint(body, prevent_cse=False, policy=policy)
 

@@ -89,6 +89,23 @@ def clean_text(text: str, mode: str = "lower") -> str:
     raise ValueError(f"unknown clean mode: {mode}")
 
 
+def canonicalize_text(text: str, keep_punctuation_exact_string: Optional[str] = None) -> str:
+    """big_vision canonicalization: lowercase, punctuation stripped,
+    ``_`` -> space (reference tokenizer.py:104-124; SigLIP text cleaning)."""
+    import string
+
+    text = text.replace("_", " ")
+    if keep_punctuation_exact_string:
+        text = keep_punctuation_exact_string.join(
+            part.translate(str.maketrans("", "", string.punctuation))
+            for part in text.split(keep_punctuation_exact_string)
+        )
+    else:
+        text = text.translate(str.maketrans("", "", string.punctuation))
+    text = text.lower()
+    return _WS_RE.sub(" ", text).strip()
+
+
 def _adjacent_pairs(word: Tuple[str, ...]) -> set:
     return set(zip(word[:-1], word[1:]))
 
@@ -218,6 +235,34 @@ def get_tokenizer(context_length: int = DEFAULT_CONTEXT_LENGTH) -> ClipTokenizer
     return ClipTokenizer(context_length=context_length)
 
 
+def get_tokenizer_for_config(cfg):
+    """Config-aware tokenizer dispatch (reference ``factory.get_tokenizer``,
+    factory.py:82-124): CLIP BPE for the fused text tower, HF AutoTokenizer
+    for HF text towers (``hf_tokenizer_name``), SigLIP sentencepiece for
+    SigLIP vocabs. HF/SigLIP tokenizers need their files locally (no network
+    egress here) — a tokenizer with the WRONG vocabulary must never be
+    silently substituted, so misses raise instead of falling back."""
+    from latteclip_tpu.models.hf_text import HFTextConfig
+
+    text = cfg.text
+    if isinstance(text, HFTextConfig):
+        name = text.tokenizer_name or text.model_name
+        try:
+            return HFTokenizerWrapper(name, context_length=text.context_length)
+        except Exception as e:
+            raise RuntimeError(
+                f"model {cfg.name!r} needs the HF tokenizer {name!r}; it is "
+                "not available locally (no network egress). Fetch its files "
+                "and pass a local path via the model JSON's "
+                "hf_tokenizer_name, or pre-tokenize inputs."
+            ) from e
+    if text.vocab_size == 49408:
+        return get_tokenizer(text.context_length)
+    # non-CLIP vocab without an HF tokenizer: SigLIP sentencepiece family
+    name = "mc4" if text.vocab_size >= 200000 else "c4-en"
+    return SigLipTokenizer(name, context_length=text.context_length)
+
+
 # ---------------------------------------------------------------------------
 # Reduction (token-dropping) strategies for over-long texts
 # (behavioral parity with reference src/open_clip/tokenizer.py:274-394;
@@ -339,6 +384,52 @@ def syntax_mask_tokenize(
             ids[-1] = tokenizer.eot_token_id
         out[row, : len(ids)] = ids
     return out
+
+
+class SigLipTokenizer:
+    """SigLIP T5-sentencepiece tokenizer wrapper (reference
+    tokenizer.py:456-510). Requires the ``sentencepiece`` package and a
+    LOCAL ``sentencepiece.model`` file — the reference downloads its vocab
+    at construction, which this environment cannot (the error carries the
+    upstream URL). Text is big_vision-canonicalized (lowercase, punctuation
+    stripped); pad/eos forced to id 1 like the reference."""
+
+    VOCAB_URLS = {
+        "c4-en": "http://storage.googleapis.com/t5-data/vocabs/cc_en.32000/sentencepiece.model",
+        "mc4": "http://storage.googleapis.com/t5-data/vocabs/mc4.250000.100extra/sentencepiece.model",
+    }
+
+    def __init__(self, tokenizer_name: str, context_length: int = 64):
+        try:
+            import sentencepiece  # noqa: F401
+            from transformers import T5TokenizerFast
+        except ImportError as e:
+            raise ImportError(
+                "SigLipTokenizer needs the sentencepiece package (not in this "
+                "environment); model weights/eval work without it via "
+                "pre-tokenized ids"
+            ) from e
+        if tokenizer_name in self.VOCAB_URLS and not os.path.exists(tokenizer_name):
+            raise FileNotFoundError(
+                f"sentencepiece vocab {tokenizer_name!r} must be fetched from "
+                f"{self.VOCAB_URLS[tokenizer_name]} and passed as a local path "
+                "(no network egress here)"
+            )
+        self.tokenizer = T5TokenizerFast(tokenizer_name, legacy=False)
+        self.tokenizer.pad_token_id = 1
+        self.tokenizer.eos_token_id = 1
+        self.context_length = context_length
+
+    def __call__(self, texts: Union[str, Sequence[str]], context_length: Optional[int] = None) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        texts = [canonicalize_text(_basic_clean(t)) for t in texts]
+        enc = self.tokenizer(
+            list(texts), return_tensors="np",
+            max_length=context_length or self.context_length,
+            padding="max_length", truncation=True,
+        )
+        return enc["input_ids"].astype(np.int32)
 
 
 class HFTokenizerWrapper:

@@ -173,6 +173,8 @@ def siglip_map_head(
     returning the probe token — ``x[:, 0]`` of the pooled sequence. The MLP
     uses tanh-approximate gelu (flax ``nn.gelu`` default), unlike the towers'
     exact gelu."""
+    from latteclip_tpu.kernels import xla_attention
+
     B, L, D = x.shape
     hd = D // num_heads
     x = x.astype(dtype)
@@ -180,13 +182,10 @@ def siglip_map_head(
     k = x @ p["k_w"].astype(dtype) + p["k_b"].astype(dtype)                          # [B, L, D]
     v = x @ p["v_w"].astype(dtype) + p["v_b"].astype(dtype)
     qh = jnp.broadcast_to(q.reshape(1, 1, num_heads, hd), (B, 1, num_heads, hd))
-    kh = k.reshape(B, L, num_heads, hd)
-    vh = v.reshape(B, L, num_heads, hd)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", qh * hd ** -0.5, kh,
-                        preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh, preferred_element_type=jnp.float32)
-    out = out.reshape(B, 1, D).astype(dtype)
+    out = xla_attention(
+        qh, k.reshape(B, L, num_heads, hd), v.reshape(B, L, num_heads, hd), dtype=dtype
+    )
+    out = out.reshape(B, 1, D)
     out = out @ p["out_w"].astype(dtype) + p["out_b"].astype(dtype)
     y = layers.layer_norm(out, p["ln_scale"], p["ln_bias"])
     h = jax.nn.gelu(y @ p["fc1_w"].astype(dtype) + p["fc1_b"].astype(dtype), approximate=True)

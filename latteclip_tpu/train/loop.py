@@ -241,6 +241,7 @@ def train(
                     evaluate_val_pairs(
                         _host_local_eval_state(state).params, cfg,
                         val_pairs_dataset, batch_size=loop_cfg.eval_batch_size,
+                        tokenizer=tokenizer,
                     )
                 )
             if imagenet_val_dataset is not None and tokenizer is not None:

@@ -159,7 +159,9 @@ def main(argv=None) -> int:
                 f.write(f"{k}: {getattr(args, k)}\n")
 
     cfg, params, bank_dict = build_model(args)
-    tokenizer = get_tokenizer(cfg.text.context_length)
+    from latteclip_tpu.models.tokenizer import get_tokenizer_for_config
+
+    tokenizer = get_tokenizer_for_config(cfg)
 
     synthetic_mode = args.dataset_type == "synthetic"
     if synthetic_mode:
@@ -348,6 +350,10 @@ def main(argv=None) -> int:
                 else bank
             )
             start_epoch = int(r_meta.get("epoch", 0))
+            if args.siglip and "logit_bias" not in r_params:
+                # resuming --siglip from a plain-CLIP checkpoint: re-inject
+                # the trainable bias (same as the fresh-params path above)
+                r_params = dict(r_params, logit_bias=jnp.asarray(-10.0, jnp.float32))
             state = create_train_state(r_params, optimizer, r_bank_arr)
             resume_step = int(r_meta.get("step", start_epoch * pipeline.steps_per_epoch))
             state = state.replace(step=jnp.asarray(resume_step, jnp.int32))

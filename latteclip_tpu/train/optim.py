@@ -161,16 +161,25 @@ def unlock_groups_vector(num_layers: int, unlocked_groups: int) -> jnp.ndarray:
 
 
 # Reference lock-group ordering (transformer.py:435-466): the parameter
-# groups of a tower are [embeddings/pre, block_0 ... block_{L-1}, post/proj];
-# ``unlocked_groups=n`` unlocks the LAST n groups. Head/tail key sets per
-# tower (leaves not matched by either are conservatively kept trainable):
+# groups of a tower are
+#   [embeddings/pre, block_0 .. block_{L-2}, [block_{L-1}, ln_post], proj]
+# and ``unlocked_groups=n`` unlocks the LAST n groups — so n=1 unlocks ONLY
+# the projection; ln_post travels with the last block (n>=2). Key sets per
+# tower (leaves not matched are conservatively kept trainable):
 _TOWER_HEAD_KEYS = {
-    "visual": {"patch_kernel", "class_embedding", "pos_embed", "ln_pre_scale", "ln_pre_bias"},
+    "visual": {"patch_kernel", "patch_bias", "class_embedding", "pos_embed",
+               "ln_pre_scale", "ln_pre_bias"},
     "text": {"token_embedding", "pos_embed"},
 }
-_TOWER_TAIL_KEYS = {
-    "visual": {"ln_post_scale", "ln_post_bias", "proj", "attn_pool"},
-    "text": {"ln_final_scale", "ln_final_bias", "text_projection", "cls_emb"},
+# unlocked at n >= 1 (the reference's final group)
+_TOWER_PROJ_KEYS = {
+    "visual": {"proj"},
+    "text": {"text_projection", "text_projection_b"},
+}
+# grouped with the LAST block: unlocked at n >= 2
+_TOWER_POST_KEYS = {
+    "visual": {"ln_post_scale", "ln_post_bias", "attn_pool", "map_head"},
+    "text": {"ln_final_scale", "ln_final_bias", "cls_emb"},
 }
 
 
@@ -189,6 +198,14 @@ def mask_tower_updates(tower: str, unlocked_groups: int):
     def update_fn(updates, state, params=None):
         del params
         tree = dict(updates[tower])
+        if "blocks" not in tree:
+            # ResNet/stage-structured towers have no uniform block stack;
+            # the reference similarly only supports ViT partial unlocking
+            raise ValueError(
+                f"partial unlocking (unlocked_groups={unlocked_groups}) is "
+                f"only supported for transformer towers; the {tower!r} tower "
+                "has no 'blocks' stack (use full locking instead)"
+            )
         blocks = dict(tree["blocks"])
         num_layers = jax.tree_util.tree_leaves(blocks)[0].shape[0]
         keep_vec = unlock_groups_vector(num_layers, max(unlocked_groups - 1, 0))
@@ -197,13 +214,18 @@ def mask_tower_updates(tower: str, unlocked_groups: int):
             blocks[k] = v * keep.astype(v.dtype)
         tree["blocks"] = blocks
         head = _TOWER_HEAD_KEYS.get(tower, set())
-        tail = _TOWER_TAIL_KEYS.get(tower, set())
+        proj = _TOWER_PROJ_KEYS.get(tower, set())
+        post = _TOWER_POST_KEYS.get(tower, set())
         head_unlocked = unlocked_groups >= num_layers + 2
-        tail_unlocked = unlocked_groups >= 1
         for k, v in tree.items():
             if k == "blocks":
                 continue
-            if (k in head and not head_unlocked) or (k in tail and not tail_unlocked):
+            frozen = (
+                (k in head and not head_unlocked)
+                or (k in proj and unlocked_groups < 1)
+                or (k in post and unlocked_groups < 2)
+            )
+            if frozen:
                 tree[k] = jax.tree_util.tree_map(jnp.zeros_like, v)
         new = dict(updates)
         new[tower] = tree

@@ -90,3 +90,51 @@ def test_bn_running_stats_never_updated():
     # trainable BN affine + conv weights do move
     assert _max_change(stem0["conv1_w"], stem1["conv1_w"]) > 0.0
     assert _max_change(stem0["bn1_scale"], stem1["bn1_scale"]) > 0.0
+
+
+def test_unlocked_groups_one_is_proj_only():
+    """Reference lock() group semantics (transformer.py:435-466): n=1
+    unlocks ONLY the projection; ln_post belongs to the last block's group
+    (n>=2). Regression for a review finding."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from latteclip_tpu.train.optim import mask_tower_updates
+
+    L, D = 3, 8
+    updates = {
+        "visual": {
+            "patch_kernel": jnp.ones((4, D)),
+            "pos_embed": jnp.ones((5, D)),
+            "ln_pre_scale": jnp.ones((D,)),
+            "ln_pre_bias": jnp.ones((D,)),
+            "blocks": {"w": jnp.ones((L, D))},
+            "ln_post_scale": jnp.ones((D,)),
+            "ln_post_bias": jnp.ones((D,)),
+            "proj": jnp.ones((D, D)),
+        },
+        "logit_scale": jnp.ones(()),
+    }
+    tx1 = mask_tower_updates("visual", 1)
+    out1, _ = tx1.update(updates, tx1.init(updates))
+    v1 = out1["visual"]
+    assert np.asarray(v1["proj"]).sum() > 0            # proj trains
+    assert np.asarray(v1["ln_post_scale"]).sum() == 0  # ln_post frozen at n=1
+    assert np.asarray(v1["blocks"]["w"]).sum() == 0    # no blocks at n=1
+    assert np.asarray(v1["patch_kernel"]).sum() == 0
+
+    tx2 = mask_tower_updates("visual", 2)
+    out2, _ = tx2.update(updates, tx2.init(updates))
+    v2 = out2["visual"]
+    assert np.asarray(v2["ln_post_scale"]).sum() > 0   # with the last block
+    np.testing.assert_array_equal(np.asarray(v2["blocks"]["w"])[-1], np.ones(D))
+    assert np.asarray(v2["blocks"]["w"])[:-1].sum() == 0
+
+    # ResNet-style towers (no 'blocks'): clear error instead of KeyError
+    import pytest as _pytest
+
+    rn_updates = {"visual": {"stem": {"w": jnp.ones((2, 2))}}}
+    tx = mask_tower_updates("visual", 1)
+    with _pytest.raises(ValueError, match="no 'blocks' stack"):
+        tx.update(rn_updates, tx.init(rn_updates))

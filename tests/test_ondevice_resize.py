@@ -71,8 +71,15 @@ def test_pipeline_emits_canvases_and_boxes(fixture_root):
     b = next(iter(pipe.epoch(0)))
     assert b["images"].shape == (8, 96, 96, 3) and b["images"].dtype == np.uint8
     assert b["crop_boxes"].shape == (8, 4) and b["crop_boxes"].dtype == np.float32
-    # fixture images are 64px: canvas is zero-padded beyond them
-    assert (b["images"][:, 64:, :, :] == 0).all() and (b["images"][:, :, 64:, :] == 0).all()
+    # fixture images are 64px: the canvas beyond them is edge-replicated
+    # (NOT zeros — zero padding darkens crop borders, see
+    # test_nonsquare_edge_replication)
+    np.testing.assert_array_equal(
+        b["images"][:, 64:, :64, :], np.broadcast_to(b["images"][:, 63:64, :64, :], (8, 32, 64, 3))
+    )
+    np.testing.assert_array_equal(
+        b["images"][:, :64, 64:, :], np.broadcast_to(b["images"][:, :64, 63:64, :], (8, 64, 32, 3))
+    )
     lefts, tops, ws, hs = b["crop_boxes"].T
     assert (ws > 0).all() and (hs > 0).all()
     assert (lefts + ws <= 64 + 1e-3).all() and (tops + hs <= 64 + 1e-3).all()
@@ -103,3 +110,65 @@ def test_step_consumes_boxes(fixture_root):
         jnp.asarray(x), jax.random.PRNGKey(0), boxes=jnp.asarray(boxes), size=24
     )
     assert out.shape == (4, 24, 24, 3) and out.dtype == jnp.float32
+
+
+def test_nonsquare_edge_replication():
+    """Non-square images must not sample canvas padding at crop edges: the
+    pipeline edge-replicates content into the padding, so a constant image
+    stays constant through the device crop (was ~4% dark on the last row
+    with zero padding)."""
+    import io
+    import jax.numpy as jnp
+
+    from latteclip_tpu.data.pipeline import PipelineConfig, TrainPipeline, LatteCLIPTrainData
+
+    w, h, CV, size = 120, 80, 96, 64
+    img = Image.fromarray(np.full((h, w, 3), 128, np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=95)
+
+    data = LatteCLIPTrainData(
+        shards=[], class_names=["a"], zs_top1={"x": 0},
+        per_image_tokens=[], group_tokens={}, class_to_image_ids={0: ["x"]},
+        gt_label={},
+    )
+    pipe = TrainPipeline(
+        data, PipelineConfig(batch_size=1, image_size=size, ondevice_resize=True,
+                             canvas_size=CV), num_samples=1,
+    )
+    raw = {"__key__": "x", "jpg": buf.getvalue()}
+    s = pipe._assemble_ondevice(raw, "x", raw["jpg"], np.random.default_rng(0))
+    canvas = s["image"]
+    # padding regions are edge replicas, not zeros
+    assert canvas.shape == (CV, CV, 3)
+    assert (canvas[70:] > 100).all() and (canvas[:, 90:] > 100).all()
+
+    out = np.asarray(T.device_random_resized_crop(
+        jnp.asarray(canvas[None]), jnp.asarray(s["crop_box"][None]), size
+    ))[0]
+    # JPEG round-trip of a constant image stays within 1 LSB everywhere,
+    # including the last rows/cols that read past the content edge
+    assert np.abs(out - 128.0).max() < 2.0
+
+
+def test_eval_resize_modes():
+    """resize_mode variants (reference transform.py v2 modes: SigLIP squash,
+    CenterCropOrPad longest)."""
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (40, 80, 3)).astype(np.uint8)
+    )
+    shortest = T.eval_resize_crop(img, 32, "shortest")
+    squash = T.eval_resize_crop(img, 32, "squash")
+    longest = T.eval_resize_crop(img, 32, "longest")
+    assert shortest.shape == squash.shape == longest.shape == (32, 32, 3)
+    # squash equals a direct PIL both-edge resize
+    np.testing.assert_array_equal(
+        squash, np.asarray(img.resize((32, 32), Image.BICUBIC))
+    )
+    # longest: 80->32 wide, 40->16 tall, vertically centered with padding
+    assert (longest[:8] == 0).all() and (longest[24:] == 0).all()
+    assert longest[8:24].any()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        T.eval_resize_crop(img, 32, "nope")
