@@ -82,8 +82,14 @@ def attention_core_qkv(
     """
     head_dim = qkv.shape[-1] // 3 // num_heads
     # head slicing along lanes requires 64/128-aligned head widths; other
-    # widths (e.g. SigLIP-SO400M's 72) take the XLA path
-    if _pallas_enabled() and head_dim in (64, 128):
+    # widths (e.g. SigLIP-SO400M's 72) take the XLA path.
+    # LATTECLIP_TEXT_XLA_ATTN=1 additionally routes short sequences (text,
+    # L<128) to XLA — at L=77 the flash kernel's per-head dots are tiny and
+    # the O(B*H*L^2) probs it avoids are only ~100 MB (perf experiment knob).
+    short_seq_xla = (
+        os.environ.get("LATTECLIP_TEXT_XLA_ATTN", "0") == "1" and qkv.shape[1] < 128
+    )
+    if _pallas_enabled() and head_dim in (64, 128) and not short_seq_xla:
         from latteclip_tpu.kernels.attention import flash_attention_qkv
 
         return flash_attention_qkv(qkv.astype(dtype), num_heads, causal)

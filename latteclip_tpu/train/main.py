@@ -82,6 +82,18 @@ def build_model(args):
         cfg = dataclasses.replace(cfg, compute_dtype="float32")
     if args.force_quick_gelu:
         cfg = dataclasses.replace(cfg, quick_gelu=True)
+    if args.force_image_size:
+        # reference factory.py:225-227; the checkpoint loader bicubic-resizes
+        # pretrained pos embeds to the new grid (core/checkpoint.py)
+        patch = getattr(cfg.vision, "patch_size", None)
+        if patch and args.force_image_size % patch != 0:
+            raise SystemExit(
+                f"--force-image-size {args.force_image_size} must be a "
+                f"multiple of the model's patch size ({patch})"
+            )
+        cfg = dataclasses.replace(
+            cfg, vision=dataclasses.replace(cfg.vision, image_size=args.force_image_size)
+        )
     if args.pretrained:
         from latteclip_tpu.obs.file_sync import pt_load_path
 

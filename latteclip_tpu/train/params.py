@@ -71,6 +71,10 @@ def parse_args(argv=None) -> argparse.Namespace:
                    choices=["bf16", "fp32"], help="compute dtype policy")
     p.add_argument("--grad-checkpointing", action="store_true")
     p.add_argument("--force-quick-gelu", action="store_true")
+    p.add_argument("--force-image-size", type=int, default=None,
+                   help="override the config's vision image size (reference "
+                        "params.py:569 / factory.py:225-227); pretrained pos "
+                        "embeds are bicubic-resized at load")
 
     # optimization (ViT defaults, reference params.py:5-11)
     p.add_argument("--lr", type=float, default=5.0e-4)
