@@ -81,8 +81,12 @@ def _group_size(b: int, l: int, io_hd: int, cost_fn, iters: int, d: int) -> int:
 
 
 # -- legacy whole-row path: the original, measured-good formulas + budget ----
+# (LATTECLIP_ATTN_BUDGET_MB overrides for batch-group experiments; the
+# formulas overestimate VMEM, so larger budgets may still compile)
 
-_LEGACY_BUDGET = 12 * 1024 * 1024
+import os as _os
+
+_LEGACY_BUDGET = int(_os.environ.get("LATTECLIP_ATTN_BUDGET_MB", "12")) * 1024 * 1024
 
 
 def _fwd_bytes_legacy(g: int, l: int, hd: int) -> int:
