@@ -18,49 +18,49 @@ from latteclip_tpu.data.transforms import eval_resize_crop, random_resized_crop
 _MAX_LEVEL = 10
 
 
-def _autocontrast(img, _level):
+def _autocontrast(img, _level, _rng):
     return ImageOps.autocontrast(img)
 
 
-def _equalize(img, _level):
+def _equalize(img, _level, _rng):
     return ImageOps.equalize(img)
 
 
-def _posterize(img, level):
+def _posterize(img, level, _rng):
     bits = 4 - int(level / _MAX_LEVEL * 4)
     return ImageOps.posterize(img, max(1, bits))
 
 
-def _rotate(img, level):
+def _rotate(img, level, rng):
     degrees = level / _MAX_LEVEL * 30
-    return img.rotate(degrees if np.random.rand() > 0.5 else -degrees)
+    return img.rotate(degrees if rng.random() > 0.5 else -degrees)
 
-def _solarize(img, level):
+def _solarize(img, level, _rng):
     thresh = 256 - int(level / _MAX_LEVEL * 128)
     return ImageOps.solarize(img, thresh)
 
 
-def _shear_x(img, level):
+def _shear_x(img, level, rng):
     v = level / _MAX_LEVEL * 0.3
-    v = v if np.random.rand() > 0.5 else -v
+    v = v if rng.random() > 0.5 else -v
     return img.transform(img.size, Image.AFFINE, (1, v, 0, 0, 1, 0))
 
 
-def _shear_y(img, level):
+def _shear_y(img, level, rng):
     v = level / _MAX_LEVEL * 0.3
-    v = v if np.random.rand() > 0.5 else -v
+    v = v if rng.random() > 0.5 else -v
     return img.transform(img.size, Image.AFFINE, (1, 0, 0, v, 1, 0))
 
 
-def _translate_x(img, level):
+def _translate_x(img, level, rng):
     v = int(level / _MAX_LEVEL * img.size[0] / 3)
-    v = v if np.random.rand() > 0.5 else -v
+    v = v if rng.random() > 0.5 else -v
     return img.transform(img.size, Image.AFFINE, (1, 0, v, 0, 1, 0))
 
 
-def _translate_y(img, level):
+def _translate_y(img, level, rng):
     v = int(level / _MAX_LEVEL * img.size[1] / 3)
-    v = v if np.random.rand() > 0.5 else -v
+    v = v if rng.random() > 0.5 else -v
     return img.transform(img.size, Image.AFFINE, (1, 0, 0, 0, 1, v))
 
 
@@ -88,7 +88,7 @@ def augmix(
         d = depth if depth > 0 else int(rng.integers(1, 4))
         for _ in range(d):
             op = AUGMIX_OPS[int(rng.integers(len(AUGMIX_OPS)))]
-            aug = op(aug, rng.integers(1, severity + 1))
+            aug = op(aug, rng.integers(1, severity + 1), rng)
         mix += ws[i] * np.asarray(aug, dtype=np.float32)
     out = (1 - m) * base + m * mix
     return np.clip(out, 0, 255).astype(np.uint8)

@@ -88,10 +88,14 @@ class FlatFileDataset:
             meta = json.load(f)
         return int(self.class_to_id[meta[self.class_name_field]])
 
+    def load_image(self, index: int):
+        """Raw PIL image for consumers that do their own geometry (TTA)."""
+        image_id = self.image_ids[index]
+        return T.load_rgb(os.path.join(self.split_path, image_id + ".jpg"))
+
     def load_sample(self, index: int) -> Tuple[str, np.ndarray, int]:
         image_id = self.image_ids[index]
-        img = T.load_rgb(os.path.join(self.split_path, image_id + ".jpg"))
-        arr = T.eval_resize_crop(img, self.image_size)
+        arr = T.eval_resize_crop(self.load_image(index), self.image_size)
         return image_id, arr, self.label_of(image_id)
 
     @property
@@ -114,10 +118,25 @@ def iter_batches(
     first sample so every device batch has a static shape (XLA-friendly);
     ``valid_count`` tells the consumer how many rows are real.
     """
+    from collections import deque
+
     n = len(dataset)
-    indices = range(n)
+
+    def bounded_map(pool):
+        # Executor.map submits ALL n jobs eagerly; with a consumer slower
+        # than the pool (device busy between eval batches) the completed
+        # futures buffer unboundedly many decoded images (~7.5 GB at
+        # ImageNet-val scale). Keep at most 4*threads outstanding instead.
+        inflight: "deque" = deque()
+        idx = 0
+        while idx < n or inflight:
+            while idx < n and len(inflight) < 4 * num_threads:
+                inflight.append(pool.submit(dataset.load_sample, idx))
+                idx += 1
+            yield inflight.popleft().result()
+
     with ThreadPoolExecutor(max_workers=num_threads) as pool:
-        it = pool.map(dataset.load_sample, indices, chunksize=4)
+        it = bounded_map(pool)
         buf_ids: List[str] = []
         buf_imgs: List[np.ndarray] = []
         buf_labels: List[int] = []

@@ -60,10 +60,14 @@ class ImageFolderDataset:
     def label_of(self, image_id: str) -> int:
         return self.class_to_id[os.path.dirname(image_id)]
 
+    def load_image(self, index: int):
+        """Raw PIL image (shared TTA/eval loading interface)."""
+        rel, _ = self.samples[index]
+        return T.load_rgb(os.path.join(self.root, rel))
+
     def load_sample(self, index: int) -> Tuple[str, np.ndarray, int]:
         rel, label = self.samples[index]
-        img = T.load_rgb(os.path.join(self.root, rel))
-        return rel, T.eval_resize_crop(img, self.image_size), label
+        return rel, T.eval_resize_crop(self.load_image(index), self.image_size), label
 
     @property
     def display_class_names(self) -> List[str]:

@@ -88,6 +88,13 @@ class LatteCLIPTrainData:
     gt_label: Dict[str, int]                  # image_id -> gt id (from metadata)
     gt_text_tokens: Optional[np.ndarray] = None  # [C, ctx] tokenized classnames
 
+    @property
+    def name_to_id(self) -> Dict[str, int]:
+        if not hasattr(self, "_name_to_id"):
+            object.__setattr__(self, "_name_to_id",
+                               {c: i for i, c in enumerate(self.class_names)})
+        return self._name_to_id
+
 
 def build_train_data(
     train_shards: str,
@@ -301,7 +308,7 @@ class TrainPipeline:
         if meta is not None:
             try:
                 gt_name = json.loads(meta)["class_name"].lower().replace("_", " ")
-                gt = self.data.class_names.index(gt_name) if gt_name in self.data.class_names else -1
+                gt = self.data.name_to_id.get(gt_name, -1)
             except Exception:
                 gt = -1
         if self.cfg.train_with_gt_text and gt >= 0 and self.data.gt_text_tokens is not None:
@@ -320,10 +327,14 @@ class TrainPipeline:
     def _sample_stream(self, epoch: int) -> Iterator[dict]:
         cfg = self.cfg
         rng = np.random.default_rng(cfg.seed * 1000003 + epoch * 97 + cfg.host_index)
+        wrap = 0
         while True:  # wraparound so steps_per_epoch full batches always exist
-            shards = shuffled_shards(self.data.shards, cfg.seed, epoch)
+            # the wraparound pass reshuffles (epoch, wrap) so repeated passes
+            # within one epoch don't replay the identical sample order
+            # (detshuffle2 similarly advances its counter per re-iteration)
+            shards = shuffled_shards(self.data.shards, cfg.seed, epoch * 1000 + wrap)
             shards = split_shards(shards, cfg.host_index, cfg.host_count)
-            shuffle = ShuffleBuffer(cfg.shuffle_buffer, seed=cfg.seed + epoch)
+            shuffle = ShuffleBuffer(cfg.shuffle_buffer, seed=cfg.seed + epoch * 1000 + wrap)
             raw_stream = shuffle(iter_shards_samples(shards))
 
             def job(raw, seed):
@@ -333,6 +344,7 @@ class TrainPipeline:
             # eagerly; keep at most 2*threads decode jobs outstanding
             from collections import deque
 
+            yielded = 0
             with ThreadPoolExecutor(max_workers=cfg.num_threads) as pool:
                 inflight: "deque" = deque()
                 exhausted = False
@@ -349,7 +361,18 @@ class TrainPipeline:
                         break
                     sample = inflight.popleft().result()
                     if sample is not None:
+                        yielded += 1
                         yield sample
+            if yielded == 0:
+                # bad --train-data path, pseudo-label/shard key mismatch, or
+                # more hosts than shards: an error beats a silent busy-hang
+                raise RuntimeError(
+                    f"train pipeline produced ZERO samples for host "
+                    f"{cfg.host_index}/{cfg.host_count} (epoch {epoch}): check "
+                    "--train-data, --clip-prediction-path key overlap, and the "
+                    "shard count vs host count"
+                )
+            wrap += 1
 
     def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         """Yield exactly ``steps_per_epoch`` batches for this epoch."""
@@ -370,14 +393,23 @@ class TrainPipeline:
 
 
 def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
-    """Background-thread prefetch so host assembly overlaps device compute."""
+    """Background-thread prefetch so host assembly overlaps device compute.
+
+    Exceptions inside the producer are captured and RE-RAISED in the
+    consumer: a swallowed producer error would look like a clean (short)
+    end-of-stream — silently truncating the epoch on one host, which in a
+    multi-host job deadlocks the others' collectives.
+    """
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
+    error: list = []
 
     def worker():
         try:
             for item in iterator:
                 q.put(item)
+        except BaseException as e:  # noqa: BLE001 — transported to consumer
+            error.append(e)
         finally:
             q.put(sentinel)
 
@@ -386,5 +418,7 @@ def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
     while True:
         item = q.get()
         if item is sentinel:
+            if error:
+                raise error[0]
             return
         yield item

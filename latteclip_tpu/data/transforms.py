@@ -77,10 +77,12 @@ def eval_resize_crop(img: Image.Image, size: int, resize_mode: str = "shortest")
         return canvas
     if resize_mode != "shortest":
         raise ValueError(f"unknown resize_mode: {resize_mode}")
+    # torchvision _compute_resized_output_size TRUNCATES the long edge
+    # (int(), not round()) — required for byte-exact eval parity
     if w <= h:
-        new_w, new_h = size, max(size, int(round(size * h / w)))
+        new_w, new_h = size, max(size, int(size * h / w))
     else:
-        new_w, new_h = max(size, int(round(size * w / h))), size
+        new_w, new_h = max(size, int(size * w / h)), size
     img = img.resize((new_w, new_h), Image.BICUBIC)
     left = int(round((new_w - size) / 2.0))
     top = int(round((new_h - size) / 2.0))

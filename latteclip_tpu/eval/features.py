@@ -84,6 +84,8 @@ def extract_features(
                 "gt_classname": classnames[gt],
                 "gt_class_id": gt,
             }
+    if n == 0:
+        raise ValueError(f"extract_features[{split}]: dataset produced no samples")
     logger.info(
         "extract_features[%s]: n=%d top1=%.4f top5=%.4f top10=%.4f",
         split, int(n), top1 / n, top5 / n, top10 / n,

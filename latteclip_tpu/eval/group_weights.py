@@ -71,9 +71,29 @@ def extract_group_weights(
         PipelineConfig(batch_size=batch_size, image_size=image_size, shuffle_buffer=1),
         num_samples=len(data.zs_top1),
     )
+    # Iterate the sample stream for EXACTLY num_samples unique samples: the
+    # reference analysis covers the whole dataset once (train.py:639-808),
+    # while pipe.epoch() yields only N//B full batches (tail dropped) and
+    # wraps duplicates when N < B. The final short batch is padded to the
+    # jit's static shape and trimmed after.
+    stream = pipe._sample_stream(0)
     group_weights: List[np.ndarray] = []
     items: List[Dict] = []
-    for batch in pipe.epoch(0):
+    remaining = pipe.num_samples
+    while remaining > 0:
+        take = min(batch_size, remaining)
+        samples = [next(stream) for _ in range(take)]
+        valid = len(samples)
+        while len(samples) < batch_size:
+            samples.append(samples[0])
+        batch = {
+            "images": np.stack([s["image"] for s in samples]),
+            "per_image_tokens": np.stack([s["per_image_tokens"] for s in samples]).astype(np.int32),
+            "per_group_tokens": np.stack([s["per_group_tokens"] for s in samples]).astype(np.int32),
+            "zs_preds": np.asarray([s["zs_pred"] for s in samples], np.int32),
+            "gt_labels": np.asarray([s["gt"] for s in samples], np.int32),
+        }
+        remaining -= valid
         gw, preds = weights_fn(
             params,
             jnp.asarray(batch["images"]),
@@ -81,7 +101,7 @@ def extract_group_weights(
             jnp.asarray(batch["per_group_tokens"]),
             jnp.asarray(batch["zs_preds"]),
         )
-        gw, preds = np.asarray(gw), np.asarray(preds)
+        gw, preds = np.asarray(gw)[:valid], np.asarray(preds)[:valid]
         group_weights.append(gw)
         for row in range(len(gw)):
             zs = int(batch["zs_preds"][row])

@@ -244,7 +244,9 @@ def evaluate_tta(
     total = min(len(dataset), max_samples or len(dataset))
     for index in range(total):
         image_id = dataset.image_ids[index]
-        img = T.load_rgb(f"{dataset.split_path}/{image_id}.jpg")
+        # the dataset owns its storage layout/extension (works for any
+        # dataset exposing load_image; FlatFileDataset, ImageFolderDataset)
+        img = dataset.load_image(index)
         label = dataset.label_of(image_id)
         views = jnp.asarray(augmix_views(img, dataset.image_size, tta.n_views, rng))
         feats = encode_views(params, views)

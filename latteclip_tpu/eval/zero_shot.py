@@ -113,4 +113,9 @@ def run_zero_shot_eval(
         top5 += a5
         top10 += a10
         n += valid
+    if n == 0:
+        raise ValueError(
+            "zero-shot eval received no samples — empty val split or a "
+            "filter that dropped every image"
+        )
     return {"top1": top1 / n, "top5": top5 / n, "top10": top10 / n, "n": n}

@@ -152,6 +152,9 @@ def test_group_weight_analysis(caption_fixture, tmp_path):
         batch_size=4, image_size=32,
     )
     assert (weights > 0).all() and (weights < 1).all()
+    # EVERY sample appears exactly once, including the non-multiple-of-B tail
+    # (batch_size=4 above; the fixture is deliberately not a multiple)
+    assert len(weights) == len(data.zs_top1)
     labels = json.load(open(os.path.join(out, "all_labels.json")))
     assert len(labels) == len(weights)
     assert {"zs_lb", "ft_lb", "gt_lb", "per_image_text", "per_image_group_text"} <= set(labels[0])
