@@ -126,9 +126,11 @@ def load_big_vision_npz(path: str, cfg: CLIPConfig) -> Dict:
         "ln_post_bias": _f32(w["params/img/Transformer/encoder_norm/bias"]),
     }
     if visual["pos_embed"].shape[0] != vcfg.seq_len:
-        raise ValueError(
-            f"pos_embed length {visual['pos_embed'].shape[0]} != config seq_len "
-            f"{vcfg.seq_len}; resampling is not supported"
+        from latteclip_tpu.core.checkpoint import resize_vision_pos_embed
+
+        visual["pos_embed"] = resize_vision_pos_embed(
+            visual["pos_embed"], vcfg.seq_len,
+            cls_token=not vcfg.no_cls_token,
         )
     if not vcfg.no_cls_token and "params/img/cls" in w:
         visual["class_embedding"] = _f32(w["params/img/cls"]).reshape(-1)

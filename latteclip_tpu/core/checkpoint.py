@@ -100,13 +100,23 @@ def _unstack_blocks(blocks: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray
     return out
 
 
-def resize_vision_pos_embed(pos: np.ndarray, target_seq: int) -> np.ndarray:
-    """Bicubic grid resize of [L, D] (1 class token + grid**2 patches)."""
+def resize_vision_pos_embed(
+    pos: np.ndarray, target_seq: int, cls_token: bool = True
+) -> np.ndarray:
+    """Bicubic grid resize of a [L, D] pos embed. With ``cls_token`` row 0
+    is carried through unresized (CLIP); ``cls_token=False`` treats every
+    row as a patch (SigLIP/no-cls towers)."""
     if pos.shape[0] == target_seq:
         return pos
-    tok, grid_part = pos[:1], pos[1:]
+    n_tok = 1 if cls_token else 0
+    tok, grid_part = pos[:n_tok], pos[n_tok:]
     old_g = int(round(len(grid_part) ** 0.5))
-    new_g = int(round((target_seq - 1) ** 0.5))
+    new_g = int(round((target_seq - n_tok) ** 0.5))
+    if old_g * old_g != len(grid_part) or new_g * new_g != target_seq - n_tok:
+        raise ValueError(
+            f"cannot grid-resize pos embed of {pos.shape[0]} rows "
+            f"(cls_token={cls_token}) to {target_seq}: non-square grid"
+        )
     img = grid_part.reshape(old_g, old_g, -1)
     resized = jax.image.resize(
         jnp.asarray(img, dtype=jnp.float32), (new_g, new_g, img.shape[-1]), method="bicubic"
@@ -333,7 +343,9 @@ def pt_state_dict_to_params(
     patch_kernel = conv.transpose(2, 3, 1, 0).reshape(P * P * 3, -1)
 
     vis_pos = resize_vision_pos_embed(
-        np.asarray(sd["visual.positional_embedding"], dtype=np.float32), cfg.vision.seq_len
+        np.asarray(sd["visual.positional_embedding"], dtype=np.float32),
+        cfg.vision.seq_len,
+        cls_token=not getattr(cfg.vision, "no_cls_token", False),
     )
 
     def f32(key):
@@ -521,14 +533,48 @@ def restore_opt_state(template_opt_state, saved: Dict[str, np.ndarray]):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def _is_torchscript_zip(path: str) -> bool:
+    """OpenAI's original checkpoints are TorchScript archives (zip with
+    constants.pkl + code/), not eager pickles (reference openai.py:24-91)."""
+    import zipfile
+
+    try:
+        with zipfile.ZipFile(path) as z:
+            names = z.namelist()
+        return any(n.endswith("constants.pkl") for n in names)
+    except Exception:
+        return False
+
+
 def load_clip_pt(path: str, cfg: CLIPConfig):
     """Load a checkpoint: torch ``.pt`` zip-pickle (bare state dict or
     ``{"epoch", "state_dict", ...}`` training checkpoint, reference
-    main.py:367-385) or a HF-hub ``.safetensors`` file."""
+    main.py:367-385), a HF-hub ``.safetensors`` file, a big_vision SigLIP
+    ``.npz``, or (with torch available) an OpenAI TorchScript archive."""
+    if path.endswith(".npz"):
+        from latteclip_tpu.core.big_vision import load_big_vision_npz
+
+        return load_big_vision_npz(path, cfg), {}, {}
     if path.endswith(".safetensors"):
         from latteclip_tpu.core.pt_io import load_safetensors
 
         obj = load_safetensors(path)
+    elif _is_torchscript_zip(path):
+        try:
+            import torch
+        except ImportError as e:
+            raise RuntimeError(
+                f"{path} is an OpenAI TorchScript archive; convert it once "
+                "with tools/convert_openai_jit.py (needs torch) and load the "
+                "converted file"
+            ) from e
+        model = torch.jit.load(path, map_location="cpu")
+        obj = {
+            k: v.float().numpy()
+            for k, v in model.state_dict().items()
+            if k not in ("input_resolution", "context_length", "vocab_size")
+            and hasattr(v, "numpy")
+        }
     else:
         obj = load_pt(path)
     meta: Dict[str, Any] = {}

@@ -96,6 +96,11 @@ class CLIPConfig:
     gelu_tanh: bool = False         # tanh-approx gelu (big_vision/SigLIP towers)
     init_logit_scale: float = 2.6592600369  # ln(1/0.07), reference model.py:364
     init_logit_bias: float = None   # SigLIP bias term (reference model.py:392-393)
+    # per-model preprocessing (reference PreprocessCfg / pretrained tag
+    # metadata): None -> OpenAI CLIP statistics; SigLIP uses (0.5,)*3 + squash
+    image_mean: tuple = None
+    image_std: tuple = None
+    resize_mode: str = "shortest"   # 'shortest' | 'squash' | 'longest'
     # TPU precision policy: params + LayerNorm stats in f32, matmul inputs in
     # bf16 (replaces the reference's AMP fp16 + LayerNormFp32 arrangement,
     # reference src/open_clip/transformer.py:15-21).
@@ -162,6 +167,12 @@ def config_from_dict(name: str, raw: Dict[str, Any]) -> CLIPConfig:
         kwargs["gelu_tanh"] = True
     if raw.get("compute_dtype"):
         kwargs["compute_dtype"] = str(raw["compute_dtype"])
+    if raw.get("image_mean") is not None:
+        kwargs["image_mean"] = tuple(raw["image_mean"])
+    if raw.get("image_std") is not None:
+        kwargs["image_std"] = tuple(raw["image_std"])
+    if raw.get("resize_mode"):
+        kwargs["resize_mode"] = str(raw["resize_mode"])
     return CLIPConfig(
         name=name,
         embed_dim=int(raw["embed_dim"]),

@@ -81,7 +81,12 @@ PRETRAINED: Dict[str, Dict[str, Dict]] = {
         "laion2b_s34b_b88k": _pcfg(hf_hub="laion/CLIP-ViT-g-14-laion2B-s34B-b88K/"),
     },
     "ViT-B-16-SigLIP": {
-        "webli": _slpcfg(hf_hub="timm/ViT-B-16-SigLIP/"),
+        # official big_vision .npz (the layout core/big_vision.py imports;
+        # the timm/hf-hub re-upload uses a timm state-dict layout instead)
+        "webli": _slpcfg("https://storage.googleapis.com/big_vision/siglip/webli_en_b16_224_63724782.npz"),
+    },
+    "ViT-SO400M-14-SigLIP": {
+        "webli": _slpcfg("https://storage.googleapis.com/big_vision/siglip/webli_en_so400m_224_57633886.npz"),
     },
     "roberta-ViT-B-32": {
         "laion2b_s12b_b32k": _pcfg(hf_hub="laion/CLIP-ViT-B-32-roberta-base-laion2B-s12B-b32k/"),
@@ -109,6 +114,10 @@ def list_pretrained_tags_by_model(model: str) -> List[str]:
 
 
 def get_pretrained_cfg(model: str, tag: str) -> Dict:
+    # -quickgelu config variants share their base model's weights (the
+    # reference registry carries explicit aliases; we normalize the name)
+    if model not in PRETRAINED and model.endswith("-quickgelu"):
+        model = model[: -len("-quickgelu")]
     return PRETRAINED.get(model, {}).get(tag.lower().replace("-", "_"), {}) or \
         PRETRAINED.get(model, {}).get(tag, {})
 
@@ -120,13 +129,14 @@ def cache_dir() -> str:
 
 
 def _candidate_names(cfg: Dict) -> List[str]:
+    # repo-prefixed names ONLY: a bare open_clip_model.safetensors fallback
+    # would silently resolve one model/tag's cached file for another
     names = []
     if cfg.get("url"):
         names.append(os.path.basename(cfg["url"]))
     if cfg.get("hf_hub"):
         repo = cfg["hf_hub"].rstrip("/").replace("/", "_")
-        names += [f"{repo}_{HF_SAFE_WEIGHTS_NAME}", f"{repo}_{HF_WEIGHTS_NAME}",
-                  HF_SAFE_WEIGHTS_NAME, HF_WEIGHTS_NAME]
+        names += [f"{repo}_{HF_SAFE_WEIGHTS_NAME}", f"{repo}_{HF_WEIGHTS_NAME}"]
     return names
 
 
@@ -138,9 +148,10 @@ def resolve_pretrained(model: str, tag: str) -> str:
     """
     cfg = get_pretrained_cfg(model, tag)
     if not cfg:
+        base = model[: -len("-quickgelu")] if model.endswith("-quickgelu") else model
         raise ValueError(
             f"unknown pretrained tag {tag!r} for {model!r}; known: "
-            f"{list_pretrained_tags_by_model(model)}"
+            f"{list_pretrained_tags_by_model(base)}"
         )
     root = cache_dir()
     for name in _candidate_names(cfg):

@@ -63,6 +63,7 @@ class FlatFileDataset:
     id_to_class_file: str = "id_to_class.json"
     class_to_id_file: str = "class_to_id.json"
     class_name_field: str = "class_name"
+    resize_mode: str = "shortest"   # per-model eval geometry (SigLIP: squash)
 
     def __post_init__(self):
         split = "train" if self.train else "val"
@@ -95,7 +96,7 @@ class FlatFileDataset:
 
     def load_sample(self, index: int) -> Tuple[str, np.ndarray, int]:
         image_id = self.image_ids[index]
-        arr = T.eval_resize_crop(self.load_image(index), self.image_size)
+        arr = T.eval_resize_crop(self.load_image(index), self.image_size, self.resize_mode)
         return image_id, arr, self.label_of(image_id)
 
     @property

@@ -34,6 +34,14 @@ from PIL import Image
 OPENAI_MEAN = (0.48145466, 0.4578275, 0.40821073)
 OPENAI_STD = (0.26862954, 0.26130258, 0.27577711)
 
+
+def model_mean_std(cfg) -> Tuple[Tuple[float, ...], Tuple[float, ...]]:
+    """Per-model normalization stats (reference PreprocessCfg): the model
+    config's image_mean/image_std when set, else the OpenAI CLIP defaults."""
+    mean = getattr(cfg, "image_mean", None) or OPENAI_MEAN
+    std = getattr(cfg, "image_std", None) or OPENAI_STD
+    return tuple(mean), tuple(std)
+
 # ITU-R 601-2 luma weights (torchvision rgb_to_grayscale)
 _LUMA = (0.2989, 0.587, 0.114)
 

@@ -56,7 +56,7 @@ def extract_features(
 
     @jax.jit
     def feat_and_logits(p, images_u8):
-        images = T.normalize_images(images_u8)
+        images = T.normalize_images(images_u8, *T.model_mean_std(cfg))
         feats = clip_mod.encode_image(p, cfg, images, normalize=True)
         return feats, 100.0 * feats @ classifier
 

@@ -51,7 +51,7 @@ def extract_group_weights(
 
     @jax.jit
     def weights_fn(p, images_u8, per_img_tok, per_grp_tok, zs_preds):
-        images = T.normalize_images(images_u8)
+        images = T.normalize_images(images_u8, *T.model_mean_std(cfg))
         img = clip_mod.encode_image(p, cfg, images, normalize=True)
         logits = 100.0 * img @ classifier.T
         preds = jnp.argmax(logits, axis=1)

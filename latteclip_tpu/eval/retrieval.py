@@ -49,7 +49,7 @@ def validation_loss(
 
     @jax.jit
     def encode(p, images_u8, tokens):
-        images = T.normalize_images(images_u8)
+        images = T.normalize_images(images_u8, *T.model_mean_std(cfg))
         img = clip_mod.encode_image(p, cfg, images, normalize=True)
         txt = clip_mod.encode_text(p, cfg, tokens, normalize=True)
         scale = jnp.exp(p["logit_scale"])

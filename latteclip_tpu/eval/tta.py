@@ -221,7 +221,7 @@ def evaluate_tta(
 
     @jax.jit
     def encode_views(p, views_u8):
-        return clip_mod.encode_image(p, cfg, T.normalize_images(views_u8), normalize=True)
+        return clip_mod.encode_image(p, cfg, T.normalize_images(views_u8, *T.model_mean_std(cfg)), normalize=True)
 
     if method == "rlcf":
         assert reward_params is not None and reward_cfg is not None
@@ -235,7 +235,7 @@ def evaluate_tta(
 
         @jax.jit
         def encode_reward_views(p, views_u8):
-            return clip_mod.encode_image(p, reward_cfg, T.normalize_images(views_u8), normalize=True)
+            return clip_mod.encode_image(p, reward_cfg, T.normalize_images(views_u8, *T.model_mean_std(reward_cfg)), normalize=True)
     else:
         adapt = make_tpt_adapt_fn(params, cfg, prompt, tta)
 

@@ -82,7 +82,7 @@ def make_eval_step(params, cfg: CLIPConfig, classifier: jnp.ndarray):
 
     @jax.jit
     def step(p, images_u8):
-        images = T.normalize_images(images_u8)
+        images = T.normalize_images(images_u8, *T.model_mean_std(cfg))
         feats = clip_mod.encode_image(p, cfg, images, normalize=True)
         return 100.0 * feats @ classifier
     return lambda images_u8: step(params, images_u8)

@@ -226,6 +226,12 @@ def make_writers(report_to: str, log_base_path: str, run_name: str, is_master: b
                 raise ImportError(
                     "wandb requested via --report-to but not installed"
                 ) from e
+            # even with the package importable, no writer is implemented —
+            # never silently drop the run's telemetry
+            raise NotImplementedError(
+                "--report-to wandb is not implemented in this build; use "
+                "tensorboard (stdlib writer) or results.jsonl"
+            )
         else:
             raise ValueError(f"unknown --report-to target: {target!r}")
     return writers

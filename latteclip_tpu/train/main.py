@@ -27,7 +27,7 @@ from latteclip_tpu.data.eval_dataset import FlatFileDataset
 from latteclip_tpu.data.pipeline import PipelineConfig, TrainPipeline, build_train_data
 from latteclip_tpu.eval.features import extract_features
 from latteclip_tpu.models import clip as clip_mod
-from latteclip_tpu.models.tokenizer import get_tokenizer
+from latteclip_tpu.models.tokenizer import get_tokenizer_for_config
 from latteclip_tpu.train import loop as loop_mod
 from latteclip_tpu.train.loop import LoopConfig, find_latest_checkpoint
 from latteclip_tpu.train.optim import make_optimizer, make_schedule
@@ -108,6 +108,18 @@ def build_model(args):
             if pcfg.get("quick_gelu") and not cfg.quick_gelu:
                 cfg = dataclasses.replace(cfg, quick_gelu=True)
                 logger.info("pretrained tag implies QuickGELU; enabled")
+            # tag preprocessing metadata wins over config defaults (reference
+            # PreprocessCfg merge, factory.py:382-396)
+            overrides = {}
+            if pcfg.get("mean") and not cfg.image_mean:
+                overrides["image_mean"] = tuple(pcfg["mean"])
+            if pcfg.get("std") and not cfg.image_std:
+                overrides["image_std"] = tuple(pcfg["std"])
+            if pcfg.get("resize_mode") and cfg.resize_mode == "shortest":
+                overrides["resize_mode"] = pcfg["resize_mode"]
+            if overrides:
+                cfg = dataclasses.replace(cfg, **overrides)
+                logger.info("pretrained tag preprocessing: %s", overrides)
             pretrained_src = resolve_pretrained(args.model, args.pretrained)
         params, bank_dict, _meta = ckpt.load_clip_pt(pt_load_path(pretrained_src), cfg)
         logger.info("loaded pretrained weights from %s", pretrained_src)
@@ -171,8 +183,6 @@ def main(argv=None) -> int:
                 f.write(f"{k}: {getattr(args, k)}\n")
 
     cfg, params, bank_dict = build_model(args)
-    from latteclip_tpu.models.tokenizer import get_tokenizer_for_config
-
     tokenizer = get_tokenizer_for_config(cfg)
 
     synthetic_mode = args.dataset_type == "synthetic"
@@ -187,6 +197,7 @@ def main(argv=None) -> int:
     eval_split_ds = FlatFileDataset(
         preprocess_path, train=(split == "train"),
         image_size=cfg.vision.image_size, dataset_name=dataset_name,
+        resize_mode=cfg.resize_mode,
     )
     classnames = eval_split_ds.display_class_names
     templates = eval_split_ds.templates
@@ -203,6 +214,7 @@ def main(argv=None) -> int:
     val_dataset = FlatFileDataset(
         preprocess_path, train=False,
         image_size=cfg.vision.image_size, dataset_name=dataset_name,
+        resize_mode=cfg.resize_mode,
     )
 
     # ---- TTA evaluation mode (reference evaluate_tta, train.py:1216-1305) ----
@@ -316,6 +328,7 @@ def main(argv=None) -> int:
         use_zeroshot_pseudolabel=args.use_zeroshot_pseudolabel,
         use_finetune_pseudolabel=args.use_finetune_pseudolabel,
         remat=args.grad_checkpointing,
+        remat_text=args.grad_checkpointing_text,
         bug_compat=args.fusion_bug_compat,
     )
     table = build_template_table(tokenizer, classnames, templates)
@@ -331,6 +344,11 @@ def main(argv=None) -> int:
             # when fine-tuning a CLIP checkpoint with the sigmoid loss
             params = dict(params, logit_bias=jnp.asarray(-10.0, jnp.float32))
         teacher = None
+        if (args.distill_model is None) != (args.distill_pretrained is None):
+            raise SystemExit(
+                "--distill-model and --distill-pretrained must be given "
+                "together (reference main.py:213-219)"
+            )
         if args.distill_model is not None and args.distill_pretrained is not None:
             # frozen same-tokenizer teacher (reference main.py:213-219,265-272)
             from latteclip_tpu.core import checkpoint as _ckpt

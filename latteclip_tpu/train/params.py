@@ -70,6 +70,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--precision", type=str, default="bf16",
                    choices=["bf16", "fp32"], help="compute dtype policy")
     p.add_argument("--grad-checkpointing", action="store_true")
+    p.add_argument("--grad-checkpointing-text", type=lambda s: s.lower() in ("1", "true", "yes"),
+                   default=None, metavar="BOOL",
+                   help="per-tower override: rematerialize the TEXT tower "
+                        "independently of --grad-checkpointing (unset: follow it)")
     p.add_argument("--force-quick-gelu", action="store_true")
     p.add_argument("--force-image-size", type=int, default=None,
                    help="override the config's vision image size (reference "

@@ -251,13 +251,14 @@ def make_train_step(
     template_table = jnp.asarray(template_table)
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        mean, std = T.model_mean_std(cfg)
         if hp.augment:
             images = T.train_augment_normalize(
-                batch["images"], rng, aug,
+                batch["images"], rng, aug, mean=mean, std=std,
                 boxes=batch.get("crop_boxes"), size=cfg.vision.image_size,
             )
         else:
-            images = T.normalize_images(batch["images"])
+            images = T.normalize_images(batch["images"], mean=mean, std=std)
 
         grad_fn = jax.value_and_grad(latteclip_loss_fn, has_aux=True)
         (loss, aux), grads = grad_fn(
@@ -358,13 +359,14 @@ def make_flyp_step(
         teacher = (teacher[0], jax.tree_util.tree_map(jnp.asarray, teacher[1]))
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        mean, std = T.model_mean_std(cfg)
         if hp.augment:
             images = T.train_augment_normalize(
-                batch["images"], rng, aug,
+                batch["images"], rng, aug, mean=mean, std=std,
                 boxes=batch.get("crop_boxes"), size=cfg.vision.image_size,
             )
         else:
-            images = T.normalize_images(batch["images"])
+            images = T.normalize_images(batch["images"], mean=mean, std=std)
         grad_fn = jax.value_and_grad(flyp_loss_fn, has_aux=True)
         (loss, metrics), grads = grad_fn(
             state.params, cfg, hp, batch, images, template_table, use_gt, use_siglip,

@@ -237,3 +237,45 @@ def test_siglip_checkpoint_roundtrip(npz_path, tmp_path):
         np.asarray(clip_mod.encode_text(loaded, cfg, ids)), atol=1e-6,
     )
     assert float(loaded["logit_bias"]) == pytest.approx(-10.0)
+
+
+def test_siglip_preprocessing_metadata():
+    """SigLIP configs carry inception normalization + squash resize, and the
+    normalize sites consume them (review finding: the metadata existed only
+    in the registry and every call hardcoded OpenAI stats)."""
+    from latteclip_tpu.core.config import get_model_config
+    from latteclip_tpu.data import transforms as T
+
+    cfg = get_model_config("ViT-B-16-SigLIP")
+    assert cfg.image_mean == (0.5, 0.5, 0.5) and cfg.image_std == (0.5, 0.5, 0.5)
+    assert cfg.resize_mode == "squash"
+    mean, std = T.model_mean_std(cfg)
+    assert mean == (0.5, 0.5, 0.5)
+
+    clip_cfg = get_model_config("ViT-B-32")
+    assert T.model_mean_std(clip_cfg) == (T.OPENAI_MEAN, T.OPENAI_STD)
+
+    # the stats actually change the computed features
+    x = np.full((1, 8, 8, 3), 128, np.uint8)
+    a = np.asarray(T.normalize_images(jnp.asarray(x), mean, std))
+    b = np.asarray(T.normalize_images(jnp.asarray(x)))
+    assert not np.allclose(a, b)
+    np.testing.assert_allclose(a, (128 / 255 - 0.5) / 0.5, atol=1e-4)
+
+
+def test_npz_loads_through_load_clip_pt(npz_path, tmp_path):
+    """load_clip_pt dispatches .npz to the big_vision importer (review
+    finding: the importer previously had no caller on the checkpoint path)."""
+    from latteclip_tpu.core.checkpoint import load_clip_pt
+
+    cfg = tiny_cfg()
+    params, bank, meta = load_clip_pt(npz_path, cfg)
+    assert bank == {} and meta == {}
+    assert "map_head" in params["visual"]
+    rng = np.random.default_rng(9)
+    imgs = jnp.asarray(rng.standard_normal((2, IMG, IMG, 3)).astype(np.float32))
+    direct = load_big_vision_npz(npz_path, cfg)
+    np.testing.assert_allclose(
+        np.asarray(clip_mod.encode_image(params, cfg, imgs)),
+        np.asarray(clip_mod.encode_image(direct, cfg, imgs)), atol=1e-6,
+    )

@@ -47,3 +47,22 @@ def test_resolver_cache_hit_and_miss(tmp_path, monkeypatch):
     repo_name = "laion_CLIP-ViT-B-32-laion2B-s34B-b79K_" + HF_WEIGHTS_NAME
     (tmp_path / repo_name).write_bytes(b"x")
     assert resolve_pretrained("ViT-B-32", "laion2b_s34b_b79k").endswith(repo_name)
+
+
+def test_quickgelu_alias_and_siglip_npz_tag():
+    # -quickgelu variants resolve to the base model's weights
+    cfg = get_pretrained_cfg("ViT-B-32-quickgelu", "openai")
+    assert cfg and cfg["url"].endswith("ViT-B-32.pt")
+    # SigLIP tags point at official big_vision .npz files (the layout our
+    # importer reads), not the timm-layout hf-hub re-upload
+    sig = get_pretrained_cfg("ViT-B-16-SigLIP", "webli")
+    assert sig["url"].endswith(".npz") and "big_vision" in sig["url"]
+    assert sig["mean"] == (0.5, 0.5, 0.5) and sig["resize_mode"] == "squash"
+
+
+def test_no_bare_name_cache_collisions(tmp_path, monkeypatch):
+    monkeypatch.setenv("LATTECLIP_CACHE_DIR", str(tmp_path))
+    # a bare open_clip weights file must NOT satisfy an hf-hub tag
+    (tmp_path / HF_WEIGHTS_NAME).write_bytes(b"x")
+    with pytest.raises(FileNotFoundError):
+        resolve_pretrained("ViT-B-32", "laion2b_s34b_b79k")
