@@ -18,7 +18,7 @@ patch conv ``[D, 3, P, P]`` becomes a ``[P*P*3, D]`` matmul kernel matching
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -508,16 +508,31 @@ def flatten_opt_state(opt_state) -> Dict[str, np.ndarray]:
     return {jax.tree_util.keystr(path): np.asarray(leaf) for path, leaf in flat}
 
 
-def restore_opt_state(template_opt_state, saved: Dict[str, np.ndarray]):
+def restore_opt_state(template_opt_state, saved: Dict[str, np.ndarray],
+                      allow_missing: Sequence[str] = ("logit_bias",)):
     """Rebuild an optax state from a flattened dict, using a freshly-created
     state as the structure template (the reference restores via
     ``optimizer.load_state_dict``, main.py:378-379). Raises KeyError on a
-    structural mismatch so a silent partial restore can't happen."""
+    structural mismatch so a silent partial restore can't happen — except
+    for leaves named in ``allow_missing``: params injected after the
+    checkpoint was written (e.g. ``--siglip`` adds a trainable logit_bias to
+    a plain-CLIP checkpoint) keep their fresh zero moments with a log line
+    instead of aborting the resume."""
+    import logging
+
     flat, treedef = jax.tree_util.tree_flatten_with_path(template_opt_state)
     leaves = []
     for path, leaf in flat:
         key = jax.tree_util.keystr(path)
         if key not in saved:
+            if any(name in key for name in allow_missing):
+                logging.getLogger(__name__).warning(
+                    "optimizer leaf %s absent from checkpoint; keeping fresh "
+                    "moments (param injected after the checkpoint was written)",
+                    key,
+                )
+                leaves.append(jnp.asarray(leaf))
+                continue
             raise KeyError(f"checkpoint optimizer state missing leaf {key}")
         arr = np.asarray(saved[key])
         tpl = np.asarray(leaf)

@@ -158,3 +158,35 @@ def test_resume_without_optimizer_state_differs():
         )
     ]
     assert max(diffs) > 0.0, "optimizer reset should alter the trajectory"
+
+
+def test_resume_tolerates_injected_logit_bias():
+    """Resuming --siglip from a plain-CLIP checkpoint: the injected
+    logit_bias has no saved moments; restore keeps fresh zeros for it and
+    restores everything else (review finding: this previously KeyError'd)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from latteclip_tpu.core.checkpoint import flatten_opt_state, restore_opt_state
+
+    params = {"w": jnp.ones((4, 4)), "logit_scale": jnp.ones(())}
+    opt = optax.adamw(optax.constant_schedule(1e-3))
+    state = opt.init(params)
+    saved = flatten_opt_state(state)
+
+    # template built AFTER injecting logit_bias
+    params2 = dict(params, logit_bias=jnp.asarray(-10.0))
+    template = opt.init(params2)
+    restored = restore_opt_state(template, saved)
+    flat = {k: v for k, v in flatten_opt_state(restored).items()}
+    for k, v in flat.items():
+        if "logit_bias" in k:
+            assert np.asarray(v).sum() == 0 or np.asarray(v).ndim == 0
+    # a genuinely missing leaf still errors
+    import pytest as _pytest
+
+    bad = {k: v for k, v in saved.items() if "w" not in k}
+    with _pytest.raises(KeyError):
+        restore_opt_state(opt.init(params), bad)
