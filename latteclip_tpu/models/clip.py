@@ -88,7 +88,7 @@ def encode_text(
     if isinstance(cfg.text, HFTextConfig):
         feats = hf_text_forward(
             params["text"], cfg.text, tokens,
-            embed_dim=cfg.embed_dim, dtype=_dtype(cfg),
+            embed_dim=cfg.embed_dim, dtype=_dtype(cfg), remat=remat,
         )
     else:
         feats = text_mod.text_forward(

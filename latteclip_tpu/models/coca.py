@@ -391,15 +391,28 @@ def generate_beamsearch(
                 flat = scores.reshape(-1)
                 top = np.argsort(flat)[::-1][: 2 * sub]
                 kept = 0
-                for cand in top:
+                for rank, cand in enumerate(top):
                     beam_i, tok = divmod(int(cand), V)
                     src = rows[beam_i]
                     cand_score = flat[cand]
                     if tok == eot_token_id:
+                        # HF BeamSearchScorer.process: EOS candidates ranked
+                        # below the top group_size never bank; banking
+                        # replaces the WORST hypothesis when full (a later,
+                        # better finish must not be discarded); score is
+                        # sum_logprobs / len with EOS excluded (len == pos)
+                        if rank >= sub:
+                            continue
                         seq = tokens[src].copy()
                         seq[pos] = eot_token_id
-                        if len(hyps[b][gidx]) < sub:
-                            hyps[b][gidx].append((cand_score / (pos + 1), seq))
+                        entry = (cand_score / pos, seq)
+                        bank = hyps[b][gidx]
+                        if len(bank) < sub:
+                            bank.append(entry)
+                        else:
+                            worst = min(range(len(bank)), key=lambda i: bank[i][0])
+                            if entry[0] > bank[worst][0]:
+                                bank[worst] = entry
                         continue
                     if kept < sub:
                         dst = rows[kept]
@@ -407,8 +420,6 @@ def generate_beamsearch(
                         new_tokens[dst, pos] = tok
                         beam_scores[dst] = cand_score
                         kept += 1
-                    if kept == sub:
-                        break
         tokens = new_tokens
         if all(len(g) >= sub for bh in hyps for g in bh):
             break
@@ -416,11 +427,13 @@ def generate_beamsearch(
     out = np.full((B, ctx), cfg.pad_id, dtype=np.int32)
     for b in range(B):
         pool = [h for g in hyps[b] for h in g]
-        if not pool:  # no EOT reached: bank the running beams at final length
-            pool = [
-                (beam_scores[b * num_beams + i] / max_pos, tokens[b * num_beams + i])
-                for i in range(num_beams)
-            ]
+        for gidx in range(num_beam_groups):
+            if len(hyps[b][gidx]) < sub:
+                # HF finalize: groups that never filled their bank contribute
+                # their running beams at final length
+                for s in range(sub):
+                    row = b * num_beams + gidx * sub + s
+                    pool.append((beam_scores[row] / max_pos, tokens[row]))
         best = max(pool, key=lambda t: t[0])
         out[b] = best[1]
     return out

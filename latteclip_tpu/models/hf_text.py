@@ -88,13 +88,22 @@ def hf_text_config(text_raw: Dict) -> HFTextConfig:
 
     name = text_raw.get("hf_model_name", "")
     base = dict(KNOWN_HF_CONFIGS.get(name, {}))
-    base.update({k: v for k, v in text_raw.items()
-                 if k in {f.name for f in dataclasses.fields(HFTextConfig)}})
+    explicit = {k: v for k, v in text_raw.items()
+                if k in {f.name for f in dataclasses.fields(HFTextConfig)}}
+    base.update(explicit)
     mt = base.get("model_type", "roberta")
     if mt not in SUPPORTED_MODEL_TYPES:
         raise ValueError(
             f"hf model_type '{mt}' has no native tower (supported: "
             f"{SUPPORTED_MODEL_TYPES}); registry entry: {arch_dict.get(mt)}"
+        )
+    if name and name not in KNOWN_HF_CONFIGS and not {"width", "layers"} <= set(explicit):
+        # NEVER fall back to roberta-base dims for an unknown hub name: the
+        # silently wrong architecture fails much later with misleading errors
+        raise ValueError(
+            f"hf_model_name {name!r} is not in KNOWN_HF_CONFIGS and the "
+            "text_cfg does not specify its dimensions; add width/layers/"
+            "heads/intermediate/vocab_size/max_positions explicitly"
         )
     base["model_name"] = name
     base["tokenizer_name"] = text_raw.get("hf_tokenizer_name", name)
@@ -176,10 +185,19 @@ def hf_text_forward(
     *,
     embed_dim: int,
     dtype: jnp.dtype = jnp.bfloat16,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Token ids [B, T] -> pooled+projected features [B, embed_dim] (f32)."""
     mask = (tokens != cfg.pad_id).astype(jnp.int32)          # [B, T]
     B, T = tokens.shape
+    # static bound: RoBERTa positions reach pad_id + T; a silent JAX gather
+    # clamp would reuse the last pos-embed row (HF raises an index error)
+    max_pos = cfg.pad_id + T if cfg.position_offset else T - 1
+    if max_pos >= cfg.max_positions:
+        raise ValueError(
+            f"sequence length {T} exceeds the position table "
+            f"(max_positions={cfg.max_positions}, offset {cfg.position_offset})"
+        )
 
     if cfg.position_offset:
         # RoBERTa: incremental positions over non-pad tokens, offset past pad_id
@@ -203,6 +221,8 @@ def hf_text_forward(
         out = layers.dense(inter, p["out_w"], p["out_b"], dtype)
         return _ln(h + out, p["out_ln_scale"], p["out_ln_bias"], cfg.ln_eps), None
 
+    if remat:  # per-block gradient checkpointing, like the CLIP towers
+        body = jax.checkpoint(body, prevent_cse=False)
     x, _ = jax.lax.scan(body, x, params["blocks"])
     x = x.astype(jnp.float32)
 
@@ -326,22 +346,5 @@ def export_hf_state_dict(params: Params, cfg: HFTextConfig) -> Dict[str, np.ndar
     return sd
 
 
-class HFTokenizer:
-    """transformers AutoTokenizer adapter padded to ``context_length``
-    (counterpart of reference ``tokenizer.py`` HFTokenizer). Requires the
-    tokenizer files locally — there is no network egress here."""
-
-    def __init__(self, name_or_path: str, context_length: int = 77):
-        from transformers import AutoTokenizer
-
-        self.tokenizer = AutoTokenizer.from_pretrained(name_or_path)
-        self.context_length = context_length
-
-    def __call__(self, texts):
-        if isinstance(texts, str):
-            texts = [texts]
-        enc = self.tokenizer(
-            list(texts), return_tensors="np", max_length=self.context_length,
-            padding="max_length", truncation=True,
-        )
-        return jnp.asarray(enc["input_ids"].astype(np.int32))
+# (the HF tokenizer adapter lives in models/tokenizer.py::HFTokenizerWrapper
+# — it additionally applies the reference's clean_text; do not duplicate it)

@@ -34,8 +34,12 @@ LN_EPS = 1e-5
 # (tools/remat_sweep.py measures the options).
 import os as _os
 
+# NOTE: the env value REPLACES the default set — include flash_out,flash_lse
+# yourself or the attention forward gets recomputed in backward.
 REMAT_SAVE_NAMES = tuple(
-    _os.environ.get("LATTECLIP_REMAT_SAVE", "flash_out,flash_lse").split(",")
+    name.strip()
+    for name in _os.environ.get("LATTECLIP_REMAT_SAVE", "flash_out,flash_lse").split(",")
+    if name.strip()
 )
 
 

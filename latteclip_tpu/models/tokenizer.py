@@ -258,8 +258,13 @@ def get_tokenizer_for_config(cfg):
             ) from e
     if text.vocab_size == 49408:
         return get_tokenizer(text.context_length)
-    # non-CLIP vocab without an HF tokenizer: SigLIP sentencepiece family
-    name = "mc4" if text.vocab_size >= 200000 else "c4-en"
+    # non-CLIP vocab without an HF tokenizer: SigLIP sentencepiece family.
+    # $LATTECLIP_SIGLIP_VOCAB supplies the local sentencepiece.model path
+    # (the registry names alone cannot be fetched without egress).
+    name = os.environ.get(
+        "LATTECLIP_SIGLIP_VOCAB",
+        "mc4" if text.vocab_size >= 200000 else "c4-en",
+    )
     return SigLipTokenizer(name, context_length=text.context_length)
 
 

@@ -193,11 +193,14 @@ def siglip_map_head(
     return out[:, 0]
 
 
-def patch_dropout(x: jnp.ndarray, prob: float, rng: jax.Array) -> jnp.ndarray:
+def patch_dropout(x: jnp.ndarray, prob: float, rng: jax.Array,
+                  has_cls: bool = True) -> jnp.ndarray:
     """Randomly keep a fraction of patch tokens, always keeping the class
-    token (reference PatchDropout, transformer.py:49-86). Static output
-    shape: num_keep is computed from the static token count."""
-    cls_tok, patches = x[:, :1], x[:, 1:]
+    token when present (reference PatchDropout, transformer.py:49-86).
+    Static output shape: num_keep is computed from the static token count.
+    ``has_cls=False`` (SigLIP/no-cls towers) samples over ALL tokens."""
+    n_cls = 1 if has_cls else 0
+    cls_tok, patches = x[:, :n_cls], x[:, n_cls:]
     B, N, D = patches.shape
     num_keep = max(1, int(N * (1.0 - prob)))
     scores = jax.random.normal(rng, (B, N))
@@ -238,7 +241,7 @@ def vit_forward(
 
     if train and cfg.patch_dropout > 0.0:
         assert rng is not None, "patch dropout needs an rng"
-        x = patch_dropout(x, cfg.patch_dropout, rng)
+        x = patch_dropout(x, cfg.patch_dropout, rng, has_cls=not cfg.no_cls_token)
 
     if not cfg.no_ln_pre:
         x = layers.layer_norm(x, params["ln_pre_scale"], params["ln_pre_bias"])
