@@ -1,13 +1,23 @@
-"""Device mesh + sharding for GSPMD data-parallel training.
+"""Device mesh + sharding for GSPMD data×tensor-parallel training.
 
 The reference scales with DDP + NCCL allreduce and hand-written all_gathers
 (``src/training/distributed.py``, ``src/open_clip/loss.py:19-63``). The
 TPU-native equivalent: one ``jax.sharding.Mesh`` over ICI with axes
-``("data", "model")``, params/optimizer-state/memory-bank replicated, batch
-sharded on ``data``; XLA inserts the gradient psums, the InfoNCE
-negative-gathering, and the prototype-update reductions automatically.
-``model`` is a trivial axis today (ViT-B fits on one chip) kept so tensor
-parallelism can be introduced without re-plumbing callers.
+``("data", "model")``, batch sharded on ``data``; XLA inserts the gradient
+psums, the InfoNCE negative-gathering, and the prototype-update reductions
+automatically.
+
+``--model-parallelism K>1`` is real tensor parallelism (the reference has
+none — SURVEY §2.4): the transformer MLP kernels of both towers are
+Megatron-sharded on ``model`` — ``c_fc_w [L,D,4D]`` column-split on the
+hidden dim, ``c_fc_b`` likewise, ``c_proj_w [L,4D,D]`` row-split on the
+contraction dim — so the only collective GSPMD inserts per block is the
+psum of the ``c_proj`` partial products. Optimizer moments follow the same
+specs (their pytree mirrors the params), cutting per-device HBM for the
+dominant weight class by K. Everything else (attention, embeddings, bank)
+stays replicated: at ViT-B scale the MXU-friendly move is keeping matmuls
+big, not slicing 64-wide heads. ``train_state_shardings`` is the single
+source of truth; K=1 reduces to full replication.
 
 Multi-host: ``initialize_distributed`` wraps ``jax.distributed.initialize``
 (the replacement for torchrun/SLURM env sniffing, reference
@@ -43,6 +53,48 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _tp_leaf_spec(path, leaf, model_size: int) -> P:
+    """PartitionSpec for one train-state leaf under K-way tensor parallelism.
+
+    Matches by terminal pytree-key name so it applies uniformly to params
+    AND to optimizer moments (optax state mirrors the param tree). Leaves
+    whose hidden dim does not divide K stay replicated rather than failing.
+    """
+    name = None
+    if path:
+        last = path[-1]
+        name = getattr(last, "key", None) or getattr(last, "name", None)
+    shape = getattr(leaf, "shape", ())
+    if model_size > 1 and name == "c_fc_w" and len(shape) == 3 and shape[-1] % model_size == 0:
+        return P(None, None, MODEL_AXIS)
+    if model_size > 1 and name == "c_fc_b" and len(shape) == 2 and shape[-1] % model_size == 0:
+        return P(None, MODEL_AXIS)
+    if model_size > 1 and name == "c_proj_w" and len(shape) == 3 and shape[1] % model_size == 0:
+        return P(None, MODEL_AXIS, None)
+    return P()
+
+
+def train_state_shardings(state, mesh: Mesh):
+    """Sharding pytree for the full train state (params + opt moments + bank).
+
+    MLP kernels go model-sharded when the mesh has a non-trivial ``model``
+    axis; everything else is replicated. With model axis == 1 this is
+    exactly ``replicated(mesh)`` everywhere.
+    """
+    model_size = mesh.shape[MODEL_AXIS]
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _tp_leaf_spec(path, leaf, model_size)),
+        state,
+    )
+
+
+def shard_train_state(state, mesh: Mesh):
+    """Place the train state per ``train_state_shardings`` (replicate at K=1)."""
+    return jax.tree_util.tree_map(
+        jax.device_put, state, train_state_shardings(state, mesh)
+    )
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
@@ -58,18 +110,32 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.device_put(tree, sharding)
 
 
-def make_sharded_train_step(step_fn, mesh: Mesh):
-    """jit the train step with state replicated and batch data-sharded.
+def make_sharded_train_step(step_fn, mesh: Mesh, state=None):
+    """jit the train step with the state sharded per ``train_state_shardings``
+    (replicated at model_parallelism 1, MLP-tensor-sharded otherwise) and the
+    batch data-sharded.
 
     ``(state, batch, rng) -> (state, metrics)``; state is donated so the
-    optimizer update is in-place in HBM.
+    optimizer update is in-place in HBM. Pass ``state`` (or any pytree of
+    matching structure/shapes) whenever the mesh has a non-trivial ``model``
+    axis; without it K>1 is refused rather than silently replicating params
+    and wasting the model-axis devices.
     """
     rep = replicated(mesh)
     data = batch_sharding(mesh)
+    if state is not None:
+        state_sh = train_state_shardings(state, mesh)
+    elif mesh.shape[MODEL_AXIS] == 1:
+        state_sh = rep
+    else:
+        raise ValueError(
+            "model_parallelism > 1 requires the state pytree to derive MLP "
+            "tensor shardings; call make_sharded_train_step(step, mesh, state)"
+        )
     return jax.jit(
         step_fn,
-        in_shardings=(rep, data, rep),
-        out_shardings=(rep, rep),
+        in_shardings=(state_sh, data, rep),
+        out_shardings=(state_sh, rep),
         donate_argnums=(0,),
     )
 

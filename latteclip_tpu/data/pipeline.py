@@ -14,9 +14,11 @@ Reproduces the semantics of the reference webdataset pipeline
   caption;
 * epoch-seeded deterministic shard shuffle + bounded sample shuffle buffer
   (``detshuffle2`` / ``wds.shuffle`` semantics);
-* fixed ``steps_per_epoch = train_num_samples // global_batch`` accounting
-  (reference ``data.py:724-740``), streaming with wraparound so every batch
-  has a static shape;
+* fixed ``steps_per_epoch = ceil(train_num_samples / global_batch)``
+  accounting (reference ``data.py:724-740``, ``floor=False`` default — e.g.
+  DTD 3,948/512 → 8 steps), streaming with wraparound so every batch has a
+  static shape (the reference likewise "rolls over and repeats a few
+  samples" to fill the last batch);
 * batches carry uint8 images; color augmentation + normalization runs
   inside the jitted train step (see ``transforms.train_augment_normalize``).
 
@@ -171,6 +173,10 @@ class PipelineConfig:
     # RandomResizedCrop area-scale range (--aug-cfg scale=..., reference
     # AugmentationCfg; LatteCLIP forces (0.9, 1.0), main.py:233-235)
     crop_scale: tuple = (0.9, 1.0)
+    # steps_per_epoch rounding: reference get_wds_dataset(floor=False) uses
+    # math.ceil(num_samples / global_batch) (data.py:727-729); floor=True is
+    # the reference's unused escape hatch, kept for completeness.
+    floor: bool = False
 
 
 class TrainPipeline:
@@ -186,7 +192,8 @@ class TrainPipeline:
         self.cfg = cfg
         self.num_samples = num_samples
         global_batch = cfg.batch_size * cfg.host_count
-        self.steps_per_epoch = max(1, num_samples // global_batch)
+        round_fn = (lambda a, b: a // b) if cfg.floor else (lambda a, b: -(-a // b))
+        self.steps_per_epoch = max(1, round_fn(num_samples, global_batch))
         self._tok_dim = (
             next(iter(data.group_tokens.values())).shape[0]
             if data.group_tokens

@@ -25,7 +25,7 @@ from latteclip_tpu.core.mesh import (
     global_batch_from_local,
     make_mesh,
     make_sharded_train_step,
-    replicate,
+    shard_train_state,
 )
 from latteclip_tpu.data.eval_dataset import FlatFileDataset, iter_batches
 from latteclip_tpu.data.pipeline import TrainPipeline, prefetch
@@ -182,8 +182,8 @@ def train(
     on a subset of processes, so no collective can deadlock.
     """
     mesh = mesh or make_mesh()
-    sharded_step = make_sharded_train_step(step_fn, mesh)
-    state = replicate(state, mesh)
+    sharded_step = make_sharded_train_step(step_fn, mesh, state)
+    state = shard_train_state(state, mesh)
     is_master = jax.process_index() == 0
     results_path = os.path.join(loop_cfg.checkpoint_dir, "results.jsonl")
 

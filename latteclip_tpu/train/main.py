@@ -445,6 +445,13 @@ def main(argv=None) -> int:
         ).start()
         logger.info("remote sync -> %s every %ds", args.remote_sync, args.remote_sync_frequency)
 
+    if args.model_parallelism > 1 and jax.process_count() > 1:
+        # MLP tensor shards are device-local arrays; the process-local eval /
+        # checkpoint fetch (_host_local_eval_state) requires addressability.
+        raise SystemExit(
+            "--model-parallelism > 1 is single-host (multi-host eval would "
+            "need a param allgather); use data parallelism across hosts"
+        )
     mesh = make_mesh(model_parallelism=args.model_parallelism)
     loop_mod.train(
         state, step_fn, pipeline, cfg, loop_cfg,

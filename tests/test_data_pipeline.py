@@ -111,6 +111,36 @@ def test_train_pipeline_batches(fixture_root):
     assert not np.array_equal(batches[0]["images"], other["images"])
 
 
+def test_steps_per_epoch_ceil(fixture_root):
+    """Reference rounds steps/epoch UP (data.py:727-729, floor=False default):
+    DTD 3,948 samples at global batch 512 -> 8 steps, not 7."""
+    tok = get_tokenizer()
+    class_names = [c.lower().replace("_", " ") for c in DEFAULT_CLASSES]
+    data = build_train_data(
+        os.path.join(fixture_root, "webdataset", "train_tars"),
+        os.path.join(fixture_root, "clip_features_train.pkl"),
+        [os.path.join(fixture_root, "captions_per_image")],
+        [os.path.join(fixture_root, "captions_per_group")],
+        class_names,
+        tok,
+    )
+    pipe = TrainPipeline(data, PipelineConfig(batch_size=512), num_samples=3948)
+    assert pipe.steps_per_epoch == 8
+    floored = TrainPipeline(
+        data, PipelineConfig(batch_size=512, floor=True), num_samples=3948
+    )
+    assert floored.steps_per_epoch == 7
+    # partial last batch actually streams full-shaped (wraparound fill)
+    small = TrainPipeline(
+        data,
+        PipelineConfig(batch_size=10, image_size=64, num_threads=2),
+        num_samples=24,
+    )
+    assert small.steps_per_epoch == 3
+    batches = list(small.epoch(0))
+    assert len(batches) == 3 and all(b["images"].shape[0] == 10 for b in batches)
+
+
 def test_decode_cache_speeds_epochs(fixture_root):
     tok = get_tokenizer()
     class_names = [c.lower().replace("_", " ") for c in DEFAULT_CLASSES]

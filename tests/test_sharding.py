@@ -97,3 +97,50 @@ def test_sharded_bank_is_replicated_and_synced():
 def test_model_axis_mesh_shapes():
     mesh = make_mesh(model_parallelism=2)
     assert mesh.devices.shape == (4, 2)
+
+
+def test_tensor_parallel_step_matches_single_device():
+    """4×2 data×model mesh: Megatron-sharded MLP kernels (c_fc column-split,
+    c_proj row-split) must reproduce the single-device trajectory, and the
+    MLP leaves must actually be distributed (not replicated)."""
+    from latteclip_tpu.core.mesh import shard_train_state, train_state_shardings
+
+    batch = _batch()
+    state, step = _make_state_and_step()
+    s1, m1 = jax.jit(step)(state, batch, jax.random.PRNGKey(0))
+
+    mesh = make_mesh(model_parallelism=2)
+    state2, step2 = _make_state_and_step()
+    shardings = train_state_shardings(state2, mesh)
+    spec = shardings.params["text"]["blocks"]["c_fc_w"].spec
+    assert spec == jax.sharding.PartitionSpec(None, None, "model")
+    # optimizer moments follow the same spec as their params
+    flat = jax.tree_util.tree_leaves_with_path(shardings.opt_state)
+    fc_specs = [s.spec for p, s in flat if "c_fc_w" in jax.tree_util.keystr(p)]
+    assert fc_specs and all(s == spec for s in fc_specs)
+
+    sharded_step = make_sharded_train_step(step2, mesh, state2)
+    placed = shard_train_state(state2, mesh)
+    fc = placed.params["text"]["blocks"]["c_fc_w"]
+    # each device holds a distinct hidden-dim half, 4x batch-group replication
+    assert fc.addressable_shards[0].data.shape[-1] == fc.shape[-1] // 2
+    s2, m2 = sharded_step(placed, shard_batch(batch, mesh), jax.random.PRNGKey(0))
+
+    # bf16 compute + split-contraction psum reorders reductions: tolerances
+    # are a few bf16 ulps wider than the pure-DP equivalence above
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 5e-3
+    np.testing.assert_allclose(
+        np.asarray(s1.memory_bank), np.asarray(s2.memory_bank), atol=1e-3
+    )
+    c1 = np.asarray(s1.params["visual"]["blocks"]["c_proj_w"])
+    c2 = np.asarray(s2.params["visual"]["blocks"]["c_proj_w"])
+    # one AdamW step moves each weight by <= ~lr (1e-4); bf16 grad noise on
+    # near-zero grads can flip an update's sign, so bound by 2 lr absolute
+    np.testing.assert_allclose(c1, c2, rtol=0, atol=2e-4)
+
+
+def test_model_parallel_without_state_is_rejected():
+    mesh = make_mesh(model_parallelism=2)
+    state, step = _make_state_and_step()
+    with pytest.raises(ValueError, match="model_parallelism"):
+        make_sharded_train_step(step, mesh)
