@@ -36,6 +36,7 @@ class VisionConfig:
     attn_pooler_queries: int = 256
     attn_pooler_heads: int = 8
     ls_init_value: float = None     # LayerScale init (None = disabled)
+    ln_eps: float = 1e-5            # torch default; SigLIP/big_vision use 1e-6
 
     @property
     def heads(self) -> int:
@@ -84,6 +85,7 @@ class TextConfig:
     no_causal_mask: bool = False
     embed_cls: bool = False         # append a class token (CoCa text tower)
     ls_init_value: float = None     # LayerScale init (None = disabled)
+    ln_eps: float = 1e-5            # reference norm_kwargs.eps; SigLIP 1e-6
 
 
 @dataclasses.dataclass(frozen=True)
@@ -131,7 +133,13 @@ def _filter_fields(cls, d: Dict[str, Any]) -> Dict[str, Any]:
 
 def config_from_dict(name: str, raw: Dict[str, Any]) -> CLIPConfig:
     quick_gelu = bool(raw.get("quick_gelu", False)) or name.endswith("-quickgelu")
-    vision_raw = raw.get("vision_cfg", {})
+    vision_raw = dict(raw.get("vision_cfg", {}))
+    text_raw = dict(raw.get("text_cfg", {}))
+    # reference JSON spelling: text_cfg.norm_kwargs.eps (e.g. SigLIP 1e-6)
+    for sub in (vision_raw, text_raw):
+        nk = sub.get("norm_kwargs")
+        if isinstance(nk, dict) and "eps" in nk and "ln_eps" not in sub:
+            sub["ln_eps"] = float(nk["eps"])
     if isinstance(vision_raw.get("layers"), (list, tuple)):
         # a per-stage layer list selects the ModifiedResNet tower
         # (reference model.py:251-259)
@@ -140,7 +148,6 @@ def config_from_dict(name: str, raw: Dict[str, Any]) -> CLIPConfig:
         vision = ResNetVisionConfig(**fields)
     else:
         vision = VisionConfig(**_filter_fields(VisionConfig, vision_raw))
-    text_raw = raw.get("text_cfg", {})
     if "hf_model_name" in text_raw:
         # HF-architecture text tower (reference model.py:141-150 ->
         # hf_model.py); native JAX implementation in models/hf_text.py
@@ -181,6 +188,37 @@ def config_from_dict(name: str, raw: Dict[str, Any]) -> CLIPConfig:
         quick_gelu=quick_gelu,
         **kwargs,
     )
+
+
+# Reference model configs (src/open_clip/model_configs/) that are
+# deliberately NOT shipped, with the gating reason. The completeness test
+# (tests/test_config_registry.py) enforces that every reference config
+# either resolves here or appears in this list — nothing goes missing
+# silently. Re-check the gates each round (e.g. if timm lands in the image).
+_TIMM = "timm vision trunk (timm is not installed in this environment)"
+_ENCDEC = "encoder-decoder HF text tower (mt5/nllb out of scope, models/hf_text.py)"
+GATED_CONFIGS: Dict[str, str] = {
+    "EVA01-g-14": _TIMM, "EVA01-g-14-plus": _TIMM,
+    "EVA02-B-16": _TIMM, "EVA02-E-14": _TIMM, "EVA02-E-14-plus": _TIMM,
+    "EVA02-L-14": _TIMM, "EVA02-L-14-336": _TIMM,
+    "ViT-L-14-CLIPA": _TIMM, "ViT-L-14-CLIPA-336": _TIMM,
+    "ViT-H-14-CLIPA": _TIMM, "ViT-H-14-CLIPA-336": _TIMM,
+    "ViT-bigG-14-CLIPA": _TIMM, "ViT-bigG-14-CLIPA-336": _TIMM,
+    "convnext_tiny": _TIMM, "convnext_small": _TIMM, "convnext_base": _TIMM,
+    "convnext_base_w": _TIMM, "convnext_base_w_320": _TIMM,
+    "convnext_large": _TIMM, "convnext_large_d": _TIMM,
+    "convnext_large_d_320": _TIMM, "convnext_xlarge": _TIMM,
+    "convnext_xxlarge": _TIMM, "convnext_xxlarge_320": _TIMM,
+    "swin_base_patch4_window7_224": _TIMM,
+    "vit_medium_patch16_gap_256": _TIMM,
+    "vit_relpos_medium_patch16_cls_224": _TIMM,
+    "mt5-base-ViT-B-32": _ENCDEC, "mt5-xl-ViT-H-14": _ENCDEC,
+    "nllb-clip-base": _ENCDEC, "nllb-clip-large": _ENCDEC,
+    "nllb-clip-base-siglip": _ENCDEC, "nllb-clip-large-siglip": _ENCDEC,
+    "coca_roberta-ViT-B-32": "CoCa with an HF text trunk — the CoCa text "
+    "tower here is the native cls-mask transformer (models/coca.py); "
+    "combining it with models/hf_text.py is unwired",
+}
 
 
 def list_models() -> Tuple[str, ...]:

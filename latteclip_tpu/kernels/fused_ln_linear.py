@@ -53,8 +53,8 @@ def _group_size(b: int, l: int, d: int, o: int) -> int:
     return 0
 
 
-def _unfused(x, scale, bias, w, wb, dtype):
-    return L.dense(L.layer_norm(x, scale, bias), w, wb, dtype)
+def _unfused(x, scale, bias, w, wb, dtype, eps=L.LN_EPS):
+    return L.dense(L.layer_norm(x, scale, bias, eps), w, wb, dtype)
 
 
 @functools.lru_cache()
@@ -113,8 +113,12 @@ def _bwd(res, g):
 fused_ln_linear.defvjp(_fwd, _bwd)
 
 
-def ln_linear(x, scale, bias, w, wb, dtype):
-    """Dispatch: fused pallas kernel on TPU (flag-gated) or unfused XLA."""
-    if _enabled() and not isinstance(w, dict):  # int8 kernels use the XLA path
+def ln_linear(x, scale, bias, w, wb, dtype, eps=L.LN_EPS):
+    """Dispatch: fused pallas kernel on TPU (flag-gated) or unfused XLA.
+
+    Non-default ``eps`` (SigLIP's 1e-6) always takes the XLA path — the
+    experimental kernel is compiled with the torch default and is off by
+    default anyway (it loses to XLA fusion, see module docstring)."""
+    if _enabled() and eps == L.LN_EPS and not isinstance(w, dict):
         return fused_ln_linear(x.astype(dtype), scale, bias, w, wb)
-    return _unfused(x, scale, bias, w, wb, dtype)
+    return _unfused(x, scale, bias, w, wb, dtype, eps)

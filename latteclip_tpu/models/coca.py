@@ -20,8 +20,9 @@ Three parts, all pure functions over a param pytree:
 ``coca_loss`` reproduces CoCaLoss (loss.py:278-321): weighted contrastive +
 caption CE ignoring pad positions. ``generate`` implements greedy / top-k
 sampling with a fixed-shape decode loop (one compile, causality makes the
-padded suffix invisible); the reference's beam search delegates to
-HuggingFace utilities and is intentionally not reproduced.
+padded suffix invisible); ``generate_beamsearch`` reproduces the reference's
+grouped beam search (coca_model.py:268-478) with HF ``BeamSearchScorer``
+semantics natively (tests/test_coca.py checks both against the torch oracle).
 """
 from __future__ import annotations
 

@@ -115,6 +115,13 @@ def hf_text_config(text_raw: Dict) -> HFTextConfig:
     for key in ("proj", "hf_proj_type"):
         if text_raw.get(key) is not None:
             base["proj_type"] = text_raw[key]
+    if base.get("proj_type") is None:
+        # reference CLIPTextCfg.hf_proj_type defaults to 'mlp' (model.py:202)
+        # and is always passed through (model.py:306), so configs that omit
+        # the key get the width->(width+embed)/2->embed GELU MLP, even when
+        # width == embed_dim (hf_model.py:142-150 only builds Identity when
+        # proj_type is None, which the factory never passes).
+        base["proj_type"] = "mlp"
     return HFTextConfig(**base)
 
 

@@ -43,13 +43,18 @@ REMAT_SAVE_NAMES = tuple(
 )
 
 
-def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
-    """LayerNorm with f32 statistics, output cast back to input dtype."""
+def layer_norm(
+    x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: float = LN_EPS
+) -> jnp.ndarray:
+    """LayerNorm with f32 statistics, output cast back to input dtype.
+
+    ``eps`` defaults to torch's 1e-5; SigLIP/big_vision towers use flax's
+    1e-6 (plumbed from the config's ``ln_eps``)."""
     orig_dtype = x.dtype
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.var(x32, axis=-1, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + LN_EPS)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
     y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     return y.astype(orig_dtype)
 
@@ -145,6 +150,7 @@ def residual_block(
     act,
     dtype: jnp.dtype,
     tower: str = "",
+    ln_eps: float = LN_EPS,
 ) -> jnp.ndarray:
     """Pre-LN residual attention block (reference transformer.py:231-243).
 
@@ -159,7 +165,7 @@ def residual_block(
     from latteclip_tpu.kernels import attention_core_qkv
     from latteclip_tpu.kernels.fused_ln_linear import ln_linear
 
-    qkv = ln_linear(x, p["ln_1_scale"], p["ln_1_bias"], p["in_proj_w"], p["in_proj_b"], dtype)
+    qkv = ln_linear(x, p["ln_1_scale"], p["ln_1_bias"], p["in_proj_w"], p["in_proj_b"], dtype, eps=ln_eps)
     # pinning this skips the LN+QKV GEMM recompute in backward
     qkv = checkpoint_name(qkv, f"qkv_proj{tower}")
     attn = attention_core_qkv(qkv, num_heads, causal, dtype=dtype)
@@ -169,7 +175,7 @@ def residual_block(
     # pinning the attention residual sum skips the out-proj recompute
     x = checkpoint_name(x + attn, f"attn_res{tower}")
 
-    h = ln_linear(x, p["ln_2_scale"], p["ln_2_bias"], p["c_fc_w"], p["c_fc_b"], dtype)
+    h = ln_linear(x, p["ln_2_scale"], p["ln_2_bias"], p["c_fc_w"], p["c_fc_b"], dtype, eps=ln_eps)
     # pinning the activation output skips BOTH MLP GEMM recomputes
     h = checkpoint_name(act(h), f"mlp_act{tower}")
     h = dense(h, p["c_proj_w"], p["c_proj_b"], dtype)
@@ -187,11 +193,12 @@ def transformer_stack(
     dtype: jnp.dtype,
     remat: bool = False,
     tower: str = "",
+    ln_eps: float = LN_EPS,
 ) -> jnp.ndarray:
     """Run a stack of residual blocks via lax.scan over the layer axis."""
 
     def body(carry, layer_params):
-        out = residual_block(carry, layer_params, num_heads, causal, act, dtype, tower)
+        out = residual_block(carry, layer_params, num_heads, causal, act, dtype, tower, ln_eps)
         return out, None
 
     if remat:

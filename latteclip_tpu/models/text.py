@@ -82,9 +82,10 @@ def text_forward_embeds(
     ctx = embeds.shape[1]
     x = embeds.astype(dtype) + params["pos_embed"][:ctx].astype(dtype)
     x = layers.transformer_stack(
-        x, params["blocks"], cfg.heads, not cfg.no_causal_mask, act, dtype
+        x, params["blocks"], cfg.heads, not cfg.no_causal_mask, act, dtype,
+        ln_eps=cfg.ln_eps,
     )
-    x = layers.layer_norm(x, params["ln_final_scale"], params["ln_final_bias"])
+    x = layers.layer_norm(x, params["ln_final_scale"], params["ln_final_bias"], cfg.ln_eps)
     pooled = jnp.take_along_axis(x, eot_pos[:, None, None], axis=1)[:, 0]
     out = layers.dense(pooled, params["text_projection"], None, dtype)
     return out.astype(jnp.float32)
@@ -109,9 +110,9 @@ def text_forward(
 
     x = layers.transformer_stack(
         x, params["blocks"], cfg.heads, not cfg.no_causal_mask, act, dtype,
-        remat=remat, tower="_t"
+        remat=remat, tower="_t", ln_eps=cfg.ln_eps,
     )
-    x = layers.layer_norm(x, params["ln_final_scale"], params["ln_final_bias"])
+    x = layers.layer_norm(x, params["ln_final_scale"], params["ln_final_bias"], cfg.ln_eps)
 
     if cfg.pool_type == "argmax":
         # EOT token has the highest id in each row (reference

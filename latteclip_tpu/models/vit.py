@@ -167,7 +167,8 @@ def init_map_head_params(rng: jax.Array, d_model: int, mlp_width: int) -> Params
 
 
 def siglip_map_head(
-    x: jnp.ndarray, p: Params, num_heads: int, dtype: jnp.dtype
+    x: jnp.ndarray, p: Params, num_heads: int, dtype: jnp.dtype,
+    ln_eps: float = layers.LN_EPS,
 ) -> jnp.ndarray:
     """big_vision MAPHead: probe cross-attention, then LN + residual MLP,
     returning the probe token — ``x[:, 0]`` of the pooled sequence. The MLP
@@ -187,7 +188,7 @@ def siglip_map_head(
     )
     out = out.reshape(B, 1, D)
     out = out @ p["out_w"].astype(dtype) + p["out_b"].astype(dtype)
-    y = layers.layer_norm(out, p["ln_scale"], p["ln_bias"])
+    y = layers.layer_norm(out, p["ln_scale"], p["ln_bias"], ln_eps)
     h = jax.nn.gelu(y @ p["fc1_w"].astype(dtype) + p["fc1_b"].astype(dtype), approximate=True)
     out = out + (h @ p["fc2_w"].astype(dtype) + p["fc2_b"].astype(dtype))
     return out[:, 0]
@@ -227,6 +228,13 @@ def vit_forward(
     reference transformer.py:529-546)."""
     B = images.shape[0]
     act = layers.quick_gelu if quick_gelu else (layers.gelu_tanh if gelu_tanh else layers.gelu)
+    eps = cfg.ln_eps
+    if cfg.no_cls_token and cfg.pool_type == "tok" and not cfg.attentional_pool:
+        # x[:, 0] would silently pool the first PATCH token
+        raise ValueError(
+            "pool_type='tok' needs a class token; this config sets "
+            "no_cls_token — use pool_type 'map' or 'avg'"
+        )
 
     x = patchify(images, cfg.patch_size)
     x = layers.dense(x, params["patch_kernel"], params.get("patch_bias"), dtype)  # [B, N, D]
@@ -244,32 +252,33 @@ def vit_forward(
         x = patch_dropout(x, cfg.patch_dropout, rng, has_cls=not cfg.no_cls_token)
 
     if not cfg.no_ln_pre:
-        x = layers.layer_norm(x, params["ln_pre_scale"], params["ln_pre_bias"])
+        x = layers.layer_norm(x, params["ln_pre_scale"], params["ln_pre_bias"], eps)
 
     x = layers.transformer_stack(
-        x, params["blocks"], cfg.heads, False, act, dtype, remat=remat, tower="_v"
+        x, params["blocks"], cfg.heads, False, act, dtype, remat=remat, tower="_v",
+        ln_eps=eps,
     )
 
     off = 0 if cfg.no_cls_token else 1
     if cfg.pool_type == "map":
         # big_vision/SigLIP: encoder_norm BEFORE the MAP head, probe token
         # is the pooled feature (reference big_vision.py:81-100)
-        x = layers.layer_norm(x, params["ln_post_scale"], params["ln_post_bias"])
+        x = layers.layer_norm(x, params["ln_post_scale"], params["ln_post_bias"], eps)
         tokens = x
-        pooled = siglip_map_head(x, params["map_head"], cfg.heads, dtype)
+        pooled = siglip_map_head(x, params["map_head"], cfg.heads, dtype, ln_eps=eps)
     elif cfg.attentional_pool:
         # CoCa-style: pool with learned queries, then ln_post + tok pooling
         # (reference transformer.py:529-533)
         x = attentional_pool(x, params["attn_pool"], cfg.attn_pooler_heads, dtype)
-        x = layers.layer_norm(x, params["ln_post_scale"], params["ln_post_bias"])
+        x = layers.layer_norm(x, params["ln_post_scale"], params["ln_post_bias"], eps)
         tokens = x[:, 1:]
         pooled = tokens.mean(axis=1) if cfg.pool_type == "avg" else x[:, 0]
     elif cfg.final_ln_after_pool:
         tokens = x[:, off:]
         pooled = tokens.mean(axis=1) if cfg.pool_type == "avg" else x[:, 0]
-        pooled = layers.layer_norm(pooled, params["ln_post_scale"], params["ln_post_bias"])
+        pooled = layers.layer_norm(pooled, params["ln_post_scale"], params["ln_post_bias"], eps)
     else:
-        x = layers.layer_norm(x, params["ln_post_scale"], params["ln_post_bias"])
+        x = layers.layer_norm(x, params["ln_post_scale"], params["ln_post_bias"], eps)
         tokens = x[:, off:]
         pooled = tokens.mean(axis=1) if cfg.pool_type == "avg" else x[:, 0]
 

@@ -26,6 +26,59 @@ class AverageMeter:
         return self.sum / max(self.count, 1)
 
 
+class DeviceMeterBank:
+    """Every-step metric averages without per-step host syncs.
+
+    The reference updates its AverageMeters from every step's losses
+    (train.py:584-607); fetching device scalars every step would serialize
+    the TPU pipeline, and sampling only every Nth step (round-2 behavior)
+    made ``loss.avg`` an average of sampled steps. This keeps the metric
+    SUMS on device — one jitted tree-add per step, dispatched async like the
+    train step itself — and fetches a single time per log point, so ``avg``
+    means exactly what the reference's means.
+    """
+
+    def __init__(self):
+        self._sum = None
+        self._last = None
+        self.count = 0
+        self._add = None
+
+    def update(self, metrics) -> None:
+        """Record one step's device-scalar metrics dict (no host sync)."""
+        self._last = metrics
+        if self._sum is None:
+            self._sum = metrics
+        else:
+            if self._add is None:
+                import jax
+
+                self._add = jax.jit(
+                    lambda a, b: jax.tree_util.tree_map(lambda x, y: x + y, a, b)
+                )
+            self._sum = self._add(self._sum, metrics)
+        self.count += 1
+
+    def fetch(self) -> Dict[str, "AverageMeter"]:
+        """ONE host sync: {key: AverageMeter} with val = latest step's value
+        and avg = mean over every step since construction."""
+        import jax
+        import numpy as np
+
+        last = jax.device_get(self._last)
+        total = jax.device_get(self._sum)
+        out: Dict[str, AverageMeter] = {}
+        for k, v in last.items():
+            if np.ndim(v) != 0:
+                continue
+            m = AverageMeter()
+            m.val = float(v)
+            m.sum = float(total[k])
+            m.count = self.count
+            out[k] = m
+        return out
+
+
 class Throughput:
     """samples/s and samples/s/chip with the reference's formula
     (accum·batch·world / batch_time — train.py:595-600; accum is 1 here)."""

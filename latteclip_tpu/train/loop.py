@@ -30,7 +30,11 @@ from latteclip_tpu.core.mesh import (
 from latteclip_tpu.data.eval_dataset import FlatFileDataset, iter_batches
 from latteclip_tpu.data.pipeline import TrainPipeline, prefetch
 from latteclip_tpu.eval.zero_shot import prototype_classifier, run_zero_shot_eval
-from latteclip_tpu.obs.meters import AverageMeter, Throughput, append_results_jsonl
+from latteclip_tpu.obs.meters import (
+    DeviceMeterBank,
+    Throughput,
+    append_results_jsonl,
+)
 from latteclip_tpu.train.state import TrainState
 
 logger = logging.getLogger(__name__)
@@ -189,7 +193,7 @@ def train(
 
     for epoch in range(start_epoch, loop_cfg.epochs):
         state = state.start_epoch()
-        meters: Dict[str, AverageMeter] = {}
+        bank = DeviceMeterBank()  # every-step sums stay on device
         thr = Throughput(pipeline.cfg.batch_size, jax.device_count())
 
         for i, host_batch in enumerate(prefetch(pipeline.epoch(epoch), size=pipeline.cfg.prefetch_batches)):
@@ -197,12 +201,12 @@ def train(
             batch = global_batch_from_local(host_batch, mesh)
             rng = jax.random.fold_in(jax.random.PRNGKey(seed), epoch * 100003 + i)
             state, metrics = sharded_step(state, batch, rng)
+            bank.update(metrics)  # async device add, no sync
             thr.tick_batch()
 
             if is_master and (i % loop_cfg.log_every_n_steps == 0 or i == pipeline.steps_per_epoch - 1):
-                host_metrics = jax.device_get(metrics)  # ONE host sync for all scalars
-                for k, v in host_metrics.items():
-                    meters.setdefault(k, AverageMeter()).update(float(v), pipeline.cfg.batch_size)
+                meters = bank.fetch()  # ONE host sync for all scalars
+                host_metrics = {k: m.val for k, m in meters.items()}
                 logger.info(
                     "Train Epoch: %d [%d/%d] Data (t): %.3f Batch (t): %.3f, %#g/s, %#g/s/chip "
                     "Logit Scale: %.3f Loss: %.5g (%.5g)",

@@ -129,6 +129,22 @@ def test_hf_text_config_resolution():
         hf_text_config({"hf_model_name": "google/mt5-base", "model_type": "mt5"})
 
 
+def test_proj_defaults_to_mlp_like_reference():
+    """Configs that omit the proj key get the MLP projection: reference
+    CLIPTextCfg.hf_proj_type='mlp' (model.py:202) is always passed through
+    (model.py:306). roberta-ViT-B-32 from-scratch: 768 -> 640 -> 512."""
+    from latteclip_tpu.core.config import get_model_config
+    from latteclip_tpu.models.clip import init_clip_params
+
+    cfg = get_model_config("roberta-ViT-B-32")
+    assert cfg.text.proj_type == "mlp"
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    text = params["text"]
+    assert "proj_w" not in text
+    assert text["proj1_w"].shape == (768, (768 + 512) // 2)
+    assert text["proj2_w"].shape == ((768 + 512) // 2, 512)
+
+
 def test_hf_clip_checkpoint_roundtrip(tmp_path):
     """HF-text CLIP params survive the .pt cycle via CustomTextCLIP naming
     (text.transformer.* HF keys + text.proj)."""

@@ -111,3 +111,45 @@ def test_all_shipped_configs_parse():
     for name in ("RN50x4", "RN50x64", "ViT-bigG-14", "ViT-e-14",
                  "ViT-SO400M-14-SigLIP", "coca_ViT-L-14", "ViT-S-32"):
         assert name in models, name
+
+
+def test_siglip_ln_eps_plumbed():
+    """SigLIP towers use flax's LayerNorm eps 1e-6 (reference text_cfg
+    norm_kwargs + the timm SigLIP trunk), not torch's 1e-5."""
+    from latteclip_tpu.core.config import config_from_dict, get_model_config
+    from latteclip_tpu.models import layers
+
+    cfg = get_model_config("ViT-B-16-SigLIP")
+    assert cfg.vision.ln_eps == 1e-6 and cfg.text.ln_eps == 1e-6
+    assert get_model_config("ViT-B-16").vision.ln_eps == 1e-5
+
+    # reference JSON spelling resolves too
+    raw = {
+        "embed_dim": 8,
+        "vision_cfg": {"image_size": 32, "layers": 1, "width": 64, "patch_size": 16},
+        "text_cfg": {"context_length": 8, "vocab_size": 64, "width": 64,
+                     "heads": 4, "layers": 1, "norm_kwargs": {"eps": 1e-6}},
+    }
+    assert config_from_dict("x", raw).text.ln_eps == 1e-6
+
+    # eps actually changes the math
+    x = jnp.full((1, 4), 1e-3) + jnp.arange(4) * 1e-4
+    s, b = jnp.ones((4,)), jnp.zeros((4,))
+    a = np.asarray(layers.layer_norm(x, s, b, 1e-5))
+    c = np.asarray(layers.layer_norm(x, s, b, 1e-6))
+    assert np.abs(a - c).max() > 1e-3
+
+
+def test_no_cls_tok_pooling_rejected():
+    """no_cls_token + pool_type='tok' would silently pool a patch token."""
+    cfg = config_from_dict("bad", {
+        "embed_dim": 16,
+        "vision_cfg": {"image_size": 32, "layers": 1, "width": 64,
+                       "patch_size": 16, "no_cls_token": True},
+        "text_cfg": {"context_length": 8, "vocab_size": 64, "width": 64,
+                     "heads": 4, "layers": 1},
+    })
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    imgs = np.zeros((1, 32, 32, 3), np.float32)
+    with pytest.raises(ValueError, match="class token"):
+        encode_image(params, cfg, imgs)
