@@ -330,6 +330,7 @@ def main(argv=None) -> int:
         remat=args.grad_checkpointing,
         remat_text=args.grad_checkpointing_text,
         bug_compat=args.fusion_bug_compat,
+        fuse_text_fwd=args.fuse_text_forward,
     )
     table = build_template_table(tokenizer, classnames, templates)
     if args.method == "ours":

@@ -70,6 +70,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--precision", type=str, default="bf16",
                    choices=["bf16", "fp32"], help="compute dtype policy")
     p.add_argument("--grad-checkpointing", action="store_true")
+    p.add_argument("--fuse-text-forward",
+                   type=lambda s: s.lower() in ("1", "true", "yes"),
+                   default=False, metavar="BOOL",
+                   help="encode templates + both caption streams in ONE "
+                        "[C+2B,77] text forward (value/grad-identical; "
+                        "tools/r3_levers.py measures whether it wins)")
     p.add_argument("--grad-checkpointing-text", type=lambda s: s.lower() in ("1", "true", "yes"),
                    default=None, metavar="BOOL",
                    help="per-tower override: rematerialize the TEXT tower "
@@ -111,10 +117,17 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--train-with-gt-text", action="store_true", default=False,
                    help="replace the per-image caption with the lowercased "
                         "gt classname (reference data.py:476-477; debugging)")
-    p.add_argument("--ondevice-resize", action="store_true", default=False,
+    p.add_argument("--ondevice-resize", dest="ondevice_resize",
+                   action="store_true", default=True,
                    help="run RandomResizedCrop on device over cached uint8 "
                         "canvases (host only decodes each image once); "
-                        "removes the PIL-resize host bottleneck")
+                        "removes the PIL-resize host bottleneck. DEFAULT on "
+                        "TPU (1.85x the host path on few-core hosts)")
+    p.add_argument("--host-resize", dest="ondevice_resize",
+                   action="store_false",
+                   help="PIL bicubic RandomResizedCrop on the host — the "
+                        "reference's exact pixel geometry (parity escape; "
+                        "the crop-box sampling is identical either way)")
     p.add_argument("--use-native-jpeg", action="store_true", default=False,
                    help="native fused JPEG decode+crop+resize for train "
                         "augmentation (latteclip_tpu/native)")

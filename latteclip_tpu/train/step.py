@@ -61,6 +61,10 @@ class LatteHParams:
     remat_text: Optional[bool] = None   # per-tower override; None -> follow remat
     augment: bool = True
     bug_compat: bool = False            # replay the reference's fusion quirks (below)
+    # ONE text forward over [C+2B, 77] (templates + both caption streams,
+    # zero-padded to a multiple of 8 rows) instead of two — value- and
+    # gradient-identical, one kernel launch and a bigger GEMM batch
+    fuse_text_fwd: bool = False
 
     @property
     def text_remat(self) -> bool:
@@ -162,19 +166,41 @@ def latteclip_loss_fn(
     # (the gather's transpose scatter-adds the cotangents), but O(C) instead
     # of O(B) text-tower work for the label streams. The caption streams are
     # per-sample unique and batch into one forward.
-    class_text_feats = clip_mod.encode_text(
-        params, cfg, template_table, normalize=True, remat=hp.text_remat
-    )  # [C, E]
+    if hp.fuse_text_fwd:
+        # templates + both caption streams in ONE encode_text ([C+2B, 77]
+        # padded to a multiple of 8 rows for the flash kernel's batch
+        # grouping) — fewer launches, one bigger MXU-friendly GEMM batch
+        C = template_table.shape[0]
+        B = batch["per_image_tokens"].shape[0]
+        all_tokens = jnp.concatenate(
+            [template_table, batch["per_image_tokens"], batch["per_group_tokens"]],
+            axis=0,
+        )
+        pad = (-all_tokens.shape[0]) % 8
+        if pad:
+            all_tokens = jnp.concatenate(
+                [all_tokens, jnp.zeros((pad, all_tokens.shape[1]), all_tokens.dtype)],
+                axis=0,
+            )
+        all_feats = clip_mod.encode_text(
+            params, cfg, all_tokens, normalize=True, remat=hp.text_remat
+        )
+        class_text_feats = all_feats[:C]
+        per_img_f = all_feats[C:C + B]
+        per_grp_f = all_feats[C + B:C + 2 * B]
+    else:
+        class_text_feats = clip_mod.encode_text(
+            params, cfg, template_table, normalize=True, remat=hp.text_remat
+        )  # [C, E]
+        caption_tokens = jnp.concatenate(
+            [batch["per_image_tokens"], batch["per_group_tokens"]], axis=0
+        )
+        caption_feats = clip_mod.encode_text(
+            params, cfg, caption_tokens, normalize=True, remat=hp.text_remat
+        )
+        per_img_f, per_grp_f = jnp.split(caption_feats, 2, axis=0)
     label_f = class_text_feats[preds]
     label_zs_f = class_text_feats[zs_preds]
-
-    caption_tokens = jnp.concatenate(
-        [batch["per_image_tokens"], batch["per_group_tokens"]], axis=0
-    )
-    caption_feats = clip_mod.encode_text(
-        params, cfg, caption_tokens, normalize=True, remat=hp.text_remat
-    )
-    per_img_f, per_grp_f = jnp.split(caption_feats, 2, axis=0)
 
     # confidence weights vs the epoch prototypes (detached), + gates
     w_img = text_confidence_weights(per_img_f, prototypes) + WEIGHT_EPS

@@ -396,3 +396,34 @@ def test_bug_compat_step_end_to_end(setup):
     _, mf = step_fix(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(mb["loss"])) and np.isfinite(float(mf["loss"]))
     assert abs(float(mb["loss"]) - float(mf["loss"])) > 1e-7
+
+
+def test_fused_text_forward_matches_separate():
+    """fuse_text_fwd=True (one [C+2B,77] encode) is value-identical to the
+    two-call form — same weights, same rows, padding rows discarded.
+    Checked in f32 (bf16 rounds differently across GEMM batchings)."""
+    cfg = config_from_dict("tiny-f32", {
+        "embed_dim": 32, "compute_dtype": "float32",
+        "vision_cfg": {"image_size": 32, "layers": 2, "width": 64, "patch_size": 16},
+        "text_cfg": {"context_length": 77, "vocab_size": 49408, "width": 64,
+                     "heads": 4, "layers": 2},
+    })
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    tok = get_tokenizer()
+    bank = init_memory_bank(params, cfg, tok, CLASSES, TEMPLATES)
+    table = build_template_table(tok, CLASSES, TEMPLATES)
+    opt = make_optimizer(make_schedule("const", 1e-4, warmup=1))
+    state = create_train_state(params, opt, bank)
+    step_a = jax.jit(make_train_step(cfg, opt, LatteHParams(augment=False), table))
+    step_b = jax.jit(make_train_step(
+        cfg, opt, LatteHParams(augment=False, fuse_text_fwd=True), table))
+    for B in (6, 7):  # C+2B = 16 (pad 0) and 18 (pad 6)
+        batch = _batch(np.random.default_rng(9), B=B)
+        sa, ma = step_a(state, batch, jax.random.PRNGKey(0))
+        sb, mb = step_b(state, batch, jax.random.PRNGKey(0))
+        assert abs(float(ma["loss"]) - float(mb["loss"])) < 1e-5, B
+        np.testing.assert_allclose(
+            np.asarray(sa.memory_bank), np.asarray(sb.memory_bank), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(sa.params["text"]["text_projection"]),
+            np.asarray(sb.params["text"]["text_projection"]), rtol=0, atol=1e-5)
