@@ -217,6 +217,104 @@ def _resnet_visual_to_sd(v: Dict[str, Any], cfg) -> Dict[str, np.ndarray]:
     return sd
 
 
+def _convnext_visual_from_sd(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """``visual.trunk.*`` / ``visual.head.*`` ConvNeXt keys (timm layout via
+    the reference TimmModel wrapper, timm_model.py:73-108) -> convnext
+    pytree. Depthwise kernels [C,1,7,7] -> HWIO [7,7,1,C]; linears
+    transposed to [in, out]."""
+
+    def f32(key):
+        return np.asarray(sd[key], np.float32)
+
+    stem = {
+        "conv_w": _conv_hwio(sd, "visual.trunk.stem.0.weight"),
+        "conv_b": f32("visual.trunk.stem.0.bias"),
+        "norm_scale": f32("visual.trunk.stem.1.weight"),
+        "norm_bias": f32("visual.trunk.stem.1.bias"),
+    }
+    stages = []
+    for s, depth in enumerate(cfg.depths):
+        stage: Dict[str, Any] = {}
+        if s > 0:
+            pre = f"visual.trunk.stages.{s}.downsample"
+            stage["down"] = {
+                "norm_scale": f32(f"{pre}.0.weight"),
+                "norm_bias": f32(f"{pre}.0.bias"),
+                "conv_w": _conv_hwio(sd, f"{pre}.1.weight"),
+                "conv_b": f32(f"{pre}.1.bias"),
+            }
+        per = {k: [] for k in ("dw_w", "dw_b", "norm_scale", "norm_bias",
+                               "fc1_w", "fc1_b", "fc2_w", "fc2_b", "gamma")}
+        for b in range(depth):
+            pre = f"visual.trunk.stages.{s}.blocks.{b}"
+            per["dw_w"].append(_conv_hwio(sd, f"{pre}.conv_dw.weight"))
+            per["dw_b"].append(f32(f"{pre}.conv_dw.bias"))
+            per["norm_scale"].append(f32(f"{pre}.norm.weight"))
+            per["norm_bias"].append(f32(f"{pre}.norm.bias"))
+            per["fc1_w"].append(f32(f"{pre}.mlp.fc1.weight").T)
+            per["fc1_b"].append(f32(f"{pre}.mlp.fc1.bias"))
+            per["fc2_w"].append(f32(f"{pre}.mlp.fc2.weight").T)
+            per["fc2_b"].append(f32(f"{pre}.mlp.fc2.bias"))
+            per["gamma"].append(f32(f"{pre}.gamma"))
+        stage["blocks"] = {k: np.stack(v) for k, v in per.items()}
+        stages.append(stage)
+    head = {
+        "norm_scale": f32("visual.trunk.head.norm.weight"),
+        "norm_bias": f32("visual.trunk.head.norm.bias"),
+    }
+    if "visual.head.proj.weight" in sd:
+        head["proj_w"] = f32("visual.head.proj.weight").T.copy()
+    if "visual.head.mlp.fc1.weight" in sd:
+        head["mlp_fc1_w"] = f32("visual.head.mlp.fc1.weight").T.copy()
+        head["mlp_fc1_b"] = f32("visual.head.mlp.fc1.bias")
+        head["mlp_fc2_w"] = f32("visual.head.mlp.fc2.weight").T.copy()
+    return {"stem": stem, "stages": stages, "head": head}
+
+
+def _convnext_visual_to_sd(v: Dict[str, Any], cfg) -> Dict[str, np.ndarray]:
+    def hwio_to_oihw(w):
+        return np.ascontiguousarray(np.asarray(w, np.float32).transpose(3, 2, 0, 1))
+
+    def t(w):
+        return np.ascontiguousarray(np.asarray(w, np.float32).T)
+
+    sd: Dict[str, np.ndarray] = {
+        "visual.trunk.stem.0.weight": hwio_to_oihw(v["stem"]["conv_w"]),
+        "visual.trunk.stem.0.bias": v["stem"]["conv_b"],
+        "visual.trunk.stem.1.weight": v["stem"]["norm_scale"],
+        "visual.trunk.stem.1.bias": v["stem"]["norm_bias"],
+    }
+    for s, stage in enumerate(v["stages"]):
+        if s > 0:
+            pre = f"visual.trunk.stages.{s}.downsample"
+            sd[f"{pre}.0.weight"] = stage["down"]["norm_scale"]
+            sd[f"{pre}.0.bias"] = stage["down"]["norm_bias"]
+            sd[f"{pre}.1.weight"] = hwio_to_oihw(stage["down"]["conv_w"])
+            sd[f"{pre}.1.bias"] = stage["down"]["conv_b"]
+        blocks = stage["blocks"]
+        for b in range(blocks["gamma"].shape[0]):
+            pre = f"visual.trunk.stages.{s}.blocks.{b}"
+            sd[f"{pre}.conv_dw.weight"] = hwio_to_oihw(blocks["dw_w"][b])
+            sd[f"{pre}.conv_dw.bias"] = blocks["dw_b"][b]
+            sd[f"{pre}.norm.weight"] = blocks["norm_scale"][b]
+            sd[f"{pre}.norm.bias"] = blocks["norm_bias"][b]
+            sd[f"{pre}.mlp.fc1.weight"] = t(blocks["fc1_w"][b])
+            sd[f"{pre}.mlp.fc1.bias"] = blocks["fc1_b"][b]
+            sd[f"{pre}.mlp.fc2.weight"] = t(blocks["fc2_w"][b])
+            sd[f"{pre}.mlp.fc2.bias"] = blocks["fc2_b"][b]
+            sd[f"{pre}.gamma"] = blocks["gamma"][b]
+    h = v["head"]
+    sd["visual.trunk.head.norm.weight"] = h["norm_scale"]
+    sd["visual.trunk.head.norm.bias"] = h["norm_bias"]
+    if "proj_w" in h:
+        sd["visual.head.proj.weight"] = t(h["proj_w"])
+    if "mlp_fc1_w" in h:
+        sd["visual.head.mlp.fc1.weight"] = t(h["mlp_fc1_w"])
+        sd["visual.head.mlp.fc1.bias"] = h["mlp_fc1_b"]
+        sd["visual.head.mlp.fc2.weight"] = t(h["mlp_fc2_w"])
+    return {k: np.ascontiguousarray(np.asarray(w, np.float32)) for k, w in sd.items()}
+
+
 _CROSS_EXTRA = {
     "ln_1_kv_scale": ("ln_1_kv.weight", False),
     "ln_1_kv_bias": ("ln_1_kv.bias", False),
@@ -312,7 +410,7 @@ def pt_state_dict_to_params(
     sd: Dict[str, np.ndarray], cfg: CLIPConfig
 ) -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:
     """Map an OpenCLIP state dict to (params pytree, memory_bank dict)."""
-    from latteclip_tpu.core.config import ResNetVisionConfig
+    from latteclip_tpu.core.config import ConvNeXtVisionConfig, ResNetVisionConfig
 
     sd = _normalize_state_dict(dict(sd))
     memory_bank = {
@@ -321,8 +419,11 @@ def pt_state_dict_to_params(
         if k.startswith("memory_bank.")
     }
 
-    if isinstance(cfg.vision, ResNetVisionConfig):
-        visual = _resnet_visual_from_sd(sd, cfg.vision)
+    if isinstance(cfg.vision, (ResNetVisionConfig, ConvNeXtVisionConfig)):
+        if isinstance(cfg.vision, ConvNeXtVisionConfig):
+            visual = _convnext_visual_from_sd(sd, cfg.vision)
+        else:
+            visual = _resnet_visual_from_sd(sd, cfg.vision)
         text = {
             "token_embedding": np.asarray(sd["token_embedding.weight"], np.float32),
             "pos_embed": np.asarray(sd["positional_embedding"], np.float32),
@@ -422,13 +523,16 @@ def params_to_pt_state_dict(
     classnames: Optional[List[str]] = None,
 ) -> Dict[str, np.ndarray]:
     """Invert :func:`pt_state_dict_to_params` (incl. memory_bank.<name> keys)."""
-    from latteclip_tpu.core.config import ResNetVisionConfig
+    from latteclip_tpu.core.config import ConvNeXtVisionConfig, ResNetVisionConfig
 
     params = jax.tree.map(lambda x: np.asarray(x, dtype=np.float32), params)
     v, t = params["visual"], params["text"]
 
-    if isinstance(cfg.vision, ResNetVisionConfig):
-        sd = _resnet_visual_to_sd(v, cfg.vision)
+    if isinstance(cfg.vision, (ResNetVisionConfig, ConvNeXtVisionConfig)):
+        if isinstance(cfg.vision, ConvNeXtVisionConfig):
+            sd = _convnext_visual_to_sd(v, cfg.vision)
+        else:
+            sd = _resnet_visual_to_sd(v, cfg.vision)
         sd.update({
             "logit_scale": params["logit_scale"].reshape(()),
             "token_embedding.weight": t["token_embedding"],

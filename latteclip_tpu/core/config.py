@@ -73,6 +73,38 @@ class ResNetVisionConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class ConvNeXtVisionConfig:
+    """ConvNeXt tower — the reference reaches it via timm
+    (``timm_model.py:28-108`` + the 11 ``convnext_*`` model configs, all of
+    which set ``timm_pool=''`` → avg-pool trunk + head LayerNorm). Native
+    implementation in models/convnext.py; ``trunk`` is the timm model name
+    whose published depths/dims are resolved from CONVNEXT_TRUNKS."""
+
+    trunk: str = "convnext_base"
+    image_size: int = 224
+    proj: str = "linear"            # timm_proj: 'linear' | 'mlp' | 'none'
+    drop_path: float = 0.0          # timm_drop_path (stochastic depth ramp)
+    ls_init_value: float = 1e-6     # LayerScale gamma init (timm default)
+    ln_eps: float = 1e-6            # ConvNeXt uses 1e-6 everywhere
+
+    @property
+    def depths(self) -> Tuple[int, ...]:
+        from latteclip_tpu.models.convnext import CONVNEXT_TRUNKS
+
+        return CONVNEXT_TRUNKS[self.trunk][0]
+
+    @property
+    def dims(self) -> Tuple[int, ...]:
+        from latteclip_tpu.models.convnext import CONVNEXT_TRUNKS
+
+        return CONVNEXT_TRUNKS[self.trunk][1]
+
+    @property
+    def embed_width(self) -> int:
+        return self.dims[-1]
+
+
+@dataclasses.dataclass(frozen=True)
 class TextConfig:
     context_length: int = 77
     vocab_size: int = 49408
@@ -86,6 +118,10 @@ class TextConfig:
     embed_cls: bool = False         # append a class token (CoCa text tower)
     ls_init_value: float = None     # LayerScale init (None = disabled)
     ln_eps: float = 1e-5            # reference norm_kwargs.eps; SigLIP 1e-6
+    # non-CLIP vocab on the NATIVE tower (CLIPA: bert-base-uncased wordpiece,
+    # reference factory.get_tokenizer + tokenizer.py HFTokenizer)
+    hf_tokenizer_name: str = ""
+    strip_sep_token: bool = False   # tokenizer_kwargs.strip_sep_token
 
 
 @dataclasses.dataclass(frozen=True)
@@ -140,7 +176,25 @@ def config_from_dict(name: str, raw: Dict[str, Any]) -> CLIPConfig:
         nk = sub.get("norm_kwargs")
         if isinstance(nk, dict) and "eps" in nk and "ln_eps" not in sub:
             sub["ln_eps"] = float(nk["eps"])
-    if isinstance(vision_raw.get("layers"), (list, tuple)):
+    timm_name = vision_raw.get("timm_model_name")
+    if timm_name is not None:
+        from latteclip_tpu.models.convnext import CONVNEXT_TRUNKS
+
+        if timm_name not in CONVNEXT_TRUNKS:
+            raise ValueError(
+                f"timm vision trunk '{timm_name}' has no native implementation "
+                "(convnext_* trunks are implemented in models/convnext.py; "
+                "others are gated — see GATED_CONFIGS)"
+            )
+        vision = ConvNeXtVisionConfig(
+            trunk=timm_name,
+            image_size=int(vision_raw.get("image_size", 224)),
+            # reference CLIPVisionCfg.timm_proj defaults to 'linear'
+            # (model.py); JSON 'none'/null → pass-through
+            proj=str(vision_raw.get("timm_proj", "linear") or "none"),
+            drop_path=float(vision_raw.get("timm_drop_path") or 0.0),
+        )
+    elif isinstance(vision_raw.get("layers"), (list, tuple)):
         # a per-stage layer list selects the ModifiedResNet tower
         # (reference model.py:251-259)
         fields = _filter_fields(ResNetVisionConfig, vision_raw)
@@ -155,6 +209,11 @@ def config_from_dict(name: str, raw: Dict[str, Any]) -> CLIPConfig:
 
         text = hf_text_config(text_raw)
     else:
+        # flatten tokenizer_kwargs (CLIPA: {"strip_sep_token": true})
+        tk = text_raw.get("tokenizer_kwargs")
+        if isinstance(tk, dict) and tk.get("strip_sep_token") and \
+                "strip_sep_token" not in text_raw:
+            text_raw["strip_sep_token"] = True
         text = TextConfig(**_filter_fields(TextConfig, text_raw))
     if "multimodal_cfg" in raw:
         return CoCaConfig(
@@ -201,14 +260,6 @@ GATED_CONFIGS: Dict[str, str] = {
     "EVA01-g-14": _TIMM, "EVA01-g-14-plus": _TIMM,
     "EVA02-B-16": _TIMM, "EVA02-E-14": _TIMM, "EVA02-E-14-plus": _TIMM,
     "EVA02-L-14": _TIMM, "EVA02-L-14-336": _TIMM,
-    "ViT-L-14-CLIPA": _TIMM, "ViT-L-14-CLIPA-336": _TIMM,
-    "ViT-H-14-CLIPA": _TIMM, "ViT-H-14-CLIPA-336": _TIMM,
-    "ViT-bigG-14-CLIPA": _TIMM, "ViT-bigG-14-CLIPA-336": _TIMM,
-    "convnext_tiny": _TIMM, "convnext_small": _TIMM, "convnext_base": _TIMM,
-    "convnext_base_w": _TIMM, "convnext_base_w_320": _TIMM,
-    "convnext_large": _TIMM, "convnext_large_d": _TIMM,
-    "convnext_large_d_320": _TIMM, "convnext_xlarge": _TIMM,
-    "convnext_xxlarge": _TIMM, "convnext_xxlarge_320": _TIMM,
     "swin_base_patch4_window7_224": _TIMM,
     "vit_medium_patch16_gap_256": _TIMM,
     "vit_relpos_medium_patch16_cls_224": _TIMM,

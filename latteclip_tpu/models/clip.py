@@ -16,7 +16,12 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from latteclip_tpu.core.config import CLIPConfig, ResNetVisionConfig, get_model_config
+from latteclip_tpu.core.config import (
+    CLIPConfig,
+    ConvNeXtVisionConfig,
+    ResNetVisionConfig,
+    get_model_config,
+)
 from latteclip_tpu.models import text as text_mod
 from latteclip_tpu.models import vit as vit_mod
 from latteclip_tpu.models.layers import Params, l2_normalize
@@ -28,6 +33,10 @@ def init_clip_params(rng: jax.Array, cfg: CLIPConfig) -> Params:
         from latteclip_tpu.models import resnet as resnet_mod
 
         visual = resnet_mod.init_resnet_params(kv, cfg.vision, cfg.embed_dim)
+    elif isinstance(cfg.vision, ConvNeXtVisionConfig):
+        from latteclip_tpu.models import convnext as convnext_mod
+
+        visual = convnext_mod.init_convnext_params(kv, cfg.vision, cfg.embed_dim)
     else:
         visual = vit_mod.init_vit_params(kv, cfg.vision, cfg.embed_dim)
     from latteclip_tpu.models.hf_text import HFTextConfig, init_hf_text_params
@@ -65,6 +74,13 @@ def encode_image(
 
         feats = resnet_mod.resnet_forward(
             params["visual"], cfg.vision, images, dtype=_dtype(cfg)
+        )
+    elif isinstance(cfg.vision, ConvNeXtVisionConfig):
+        from latteclip_tpu.models import convnext as convnext_mod
+
+        feats = convnext_mod.convnext_forward(
+            params["visual"], cfg.vision, images,
+            dtype=_dtype(cfg), remat=remat, train=train, rng=rng,
         )
     else:
         feats = vit_mod.vit_forward(

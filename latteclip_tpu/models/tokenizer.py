@@ -256,6 +256,21 @@ def get_tokenizer_for_config(cfg):
                 "and pass a local path via the model JSON's "
                 "hf_tokenizer_name, or pre-tokenize inputs."
             ) from e
+    if getattr(text, "hf_tokenizer_name", ""):
+        # native tower + HF vocab (CLIPA: bert wordpiece, strip_sep_token)
+        name = text.hf_tokenizer_name
+        try:
+            return HFTokenizerWrapper(
+                name, context_length=text.context_length,
+                strip_sep_token=getattr(text, "strip_sep_token", False),
+            )
+        except Exception as e:
+            raise RuntimeError(
+                f"model {cfg.name!r} needs the HF tokenizer {name!r}; it is "
+                "not available locally (no network egress). Fetch its files "
+                "and point hf_tokenizer_name at the local path, or "
+                "pre-tokenize inputs."
+            ) from e
     if text.vocab_size == 49408:
         return get_tokenizer(text.context_length)
     # non-CLIP vocab without an HF tokenizer: SigLIP sentencepiece family.
@@ -441,12 +456,14 @@ class HFTokenizerWrapper:
     """Adapter exposing a HuggingFace tokenizer with the ClipTokenizer
     calling convention (reference HFTokenizer, tokenizer.py:397-453)."""
 
-    def __init__(self, name: str, context_length: int = DEFAULT_CONTEXT_LENGTH, clean: str = "whitespace"):
+    def __init__(self, name: str, context_length: int = DEFAULT_CONTEXT_LENGTH,
+                 clean: str = "whitespace", strip_sep_token: bool = False):
         from transformers import AutoTokenizer
 
         self.tokenizer = AutoTokenizer.from_pretrained(name)
         self.context_length = context_length
         self.clean_mode = clean
+        self.strip_sep_token = strip_sep_token
 
     def __call__(self, texts: Union[str, Sequence[str]], context_length: Optional[int] = None) -> np.ndarray:
         if isinstance(texts, str):
@@ -459,4 +476,9 @@ class HFTokenizerWrapper:
             padding="max_length",
             truncation=True,
         )
-        return enc["input_ids"].astype(np.int32)
+        ids = enc["input_ids"].astype(np.int32)
+        if self.strip_sep_token:
+            # CLIPA: drop [SEP] so 'last' pooling sees the final word token
+            # (reference tokenizer.py HFTokenizer strip_sep_token)
+            ids = np.where(ids == self.tokenizer.sep_token_id, 0, ids)
+        return ids

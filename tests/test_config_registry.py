@@ -38,6 +38,27 @@ def test_all_shipped_configs_parse():
         assert cfg.embed_dim > 0, name
 
 
+def test_clipa_configs_resolve_natively():
+    """CLIPA was mis-gated as timm in round 2 — its towers are native
+    (no_ln_pre + avg pool + final_ln_after_pool vision; 'last'-pool
+    non-causal text with a bert vocab)."""
+    for name, (ew, vw, tl) in {
+        "ViT-L-14-CLIPA": (768, 1024, 12),
+        "ViT-H-14-CLIPA-336": (1024, 1280, 24),
+        "ViT-bigG-14-CLIPA": (1280, 1664, 32),
+    }.items():
+        cfg = get_model_config(name)
+        assert cfg.embed_dim == ew and cfg.vision.width == vw, name
+        assert cfg.text.layers == tl, name
+        assert cfg.vision.no_ln_pre and cfg.vision.pool_type == "avg"
+        assert cfg.vision.final_ln_after_pool
+        assert cfg.text.pool_type == "last" and cfg.text.no_causal_mask
+        assert cfg.text.vocab_size == 32000
+        assert cfg.text.hf_tokenizer_name == "bert-base-uncased"
+        assert cfg.text.strip_sep_token
+    assert get_model_config("ViT-bigG-14-CLIPA").vision.heads == 16  # hw 104
+
+
 def test_new_round3_configs_resolve():
     so = get_model_config("ViT-SO400M-14-SigLIP-384")
     assert so.vision.image_size == 384 and so.text.context_length == 64
