@@ -217,6 +217,91 @@ def _resnet_visual_to_sd(v: Dict[str, Any], cfg) -> Dict[str, np.ndarray]:
     return sd
 
 
+def _eva_visual_from_sd(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """timm Eva keys (``visual.trunk.*``; EVA01 giant = standard pre-norm
+    ViT with fused qkv, learnable q/v bias and implicit-zero k bias, final
+    norm, biased ``head`` Linear as the projection) -> native ViT pytree."""
+
+    def f32(key):
+        return np.asarray(sd[key], np.float32)
+
+    P = cfg.patch_size
+    conv = f32("visual.trunk.patch_embed.proj.weight")  # [D, 3, P, P]
+    D = conv.shape[0]
+    per = {k: [] for k in ("ln_1_scale", "ln_1_bias", "in_proj_w", "in_proj_b",
+                           "out_proj_w", "out_proj_b", "ln_2_scale", "ln_2_bias",
+                           "c_fc_w", "c_fc_b", "c_proj_w", "c_proj_b")}
+    for i in range(cfg.layers):
+        pre = f"visual.trunk.blocks.{i}"
+        per["ln_1_scale"].append(f32(f"{pre}.norm1.weight"))
+        per["ln_1_bias"].append(f32(f"{pre}.norm1.bias"))
+        per["in_proj_w"].append(f32(f"{pre}.attn.qkv.weight").T)
+        per["in_proj_b"].append(np.concatenate([
+            f32(f"{pre}.attn.q_bias"), np.zeros(D, np.float32),
+            f32(f"{pre}.attn.v_bias")]))
+        per["out_proj_w"].append(f32(f"{pre}.attn.proj.weight").T)
+        per["out_proj_b"].append(f32(f"{pre}.attn.proj.bias"))
+        per["ln_2_scale"].append(f32(f"{pre}.norm2.weight"))
+        per["ln_2_bias"].append(f32(f"{pre}.norm2.bias"))
+        per["c_fc_w"].append(f32(f"{pre}.mlp.fc1.weight").T)
+        per["c_fc_b"].append(f32(f"{pre}.mlp.fc1.bias"))
+        per["c_proj_w"].append(f32(f"{pre}.mlp.fc2.weight").T)
+        per["c_proj_b"].append(f32(f"{pre}.mlp.fc2.bias"))
+    pos = resize_vision_pos_embed(
+        f32("visual.trunk.pos_embed").reshape(-1, D), cfg.seq_len, cls_token=True)
+    return {
+        "patch_kernel": conv.transpose(2, 3, 1, 0).reshape(P * P * 3, D),
+        "patch_bias": f32("visual.trunk.patch_embed.proj.bias"),
+        "class_embedding": f32("visual.trunk.cls_token").reshape(D),
+        "pos_embed": pos,
+        # no ln_pre in Eva (cfg.no_ln_pre) — identity params keep the
+        # pytree congruent with init_vit_params
+        "ln_pre_scale": np.ones(D, np.float32),
+        "ln_pre_bias": np.zeros(D, np.float32),
+        "blocks": {k: np.stack(v) for k, v in per.items()},
+        "ln_post_scale": f32("visual.trunk.norm.weight"),
+        "ln_post_bias": f32("visual.trunk.norm.bias"),
+        "proj": f32("visual.trunk.head.weight").T.copy(),
+        "proj_b": f32("visual.trunk.head.bias"),
+    }
+
+
+def _eva_visual_to_sd(v: Dict[str, Any], cfg) -> Dict[str, np.ndarray]:
+    def t(w):
+        return np.ascontiguousarray(np.asarray(w, np.float32).T)
+
+    P, D = cfg.patch_size, cfg.width
+    conv = np.asarray(v["patch_kernel"], np.float32).reshape(P, P, 3, D).transpose(3, 2, 0, 1)
+    sd: Dict[str, np.ndarray] = {
+        "visual.trunk.patch_embed.proj.weight": np.ascontiguousarray(conv),
+        "visual.trunk.patch_embed.proj.bias": np.asarray(v["patch_bias"], np.float32),
+        "visual.trunk.cls_token": np.asarray(v["class_embedding"], np.float32).reshape(1, 1, D),
+        "visual.trunk.pos_embed": np.asarray(v["pos_embed"], np.float32)[None],
+        "visual.trunk.norm.weight": np.asarray(v["ln_post_scale"], np.float32),
+        "visual.trunk.norm.bias": np.asarray(v["ln_post_bias"], np.float32),
+        "visual.trunk.head.weight": t(v["proj"]),
+        "visual.trunk.head.bias": np.asarray(v["proj_b"], np.float32),
+    }
+    b = v["blocks"]
+    for i in range(np.asarray(b["ln_1_scale"]).shape[0]):
+        pre = f"visual.trunk.blocks.{i}"
+        sd[f"{pre}.norm1.weight"] = np.asarray(b["ln_1_scale"][i], np.float32)
+        sd[f"{pre}.norm1.bias"] = np.asarray(b["ln_1_bias"][i], np.float32)
+        sd[f"{pre}.attn.qkv.weight"] = t(b["in_proj_w"][i])
+        ipb = np.asarray(b["in_proj_b"][i], np.float32)
+        sd[f"{pre}.attn.q_bias"] = ipb[:D].copy()
+        sd[f"{pre}.attn.v_bias"] = ipb[2 * D:].copy()
+        sd[f"{pre}.attn.proj.weight"] = t(b["out_proj_w"][i])
+        sd[f"{pre}.attn.proj.bias"] = np.asarray(b["out_proj_b"][i], np.float32)
+        sd[f"{pre}.norm2.weight"] = np.asarray(b["ln_2_scale"][i], np.float32)
+        sd[f"{pre}.norm2.bias"] = np.asarray(b["ln_2_bias"][i], np.float32)
+        sd[f"{pre}.mlp.fc1.weight"] = t(b["c_fc_w"][i])
+        sd[f"{pre}.mlp.fc1.bias"] = np.asarray(b["c_fc_b"][i], np.float32)
+        sd[f"{pre}.mlp.fc2.weight"] = t(b["c_proj_w"][i])
+        sd[f"{pre}.mlp.fc2.bias"] = np.asarray(b["c_proj_b"][i], np.float32)
+    return sd
+
+
 def _convnext_visual_from_sd(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
     """``visual.trunk.*`` / ``visual.head.*`` ConvNeXt keys (timm layout via
     the reference TimmModel wrapper, timm_model.py:73-108) -> convnext
@@ -419,8 +504,11 @@ def pt_state_dict_to_params(
         if k.startswith("memory_bank.")
     }
 
-    if isinstance(cfg.vision, (ResNetVisionConfig, ConvNeXtVisionConfig)):
-        if isinstance(cfg.vision, ConvNeXtVisionConfig):
+    eva = getattr(cfg.vision, "timm_trunk", "").startswith("eva")
+    if isinstance(cfg.vision, (ResNetVisionConfig, ConvNeXtVisionConfig)) or eva:
+        if eva:
+            visual = _eva_visual_from_sd(sd, cfg.vision)
+        elif isinstance(cfg.vision, ConvNeXtVisionConfig):
             visual = _convnext_visual_from_sd(sd, cfg.vision)
         else:
             visual = _resnet_visual_from_sd(sd, cfg.vision)
@@ -528,8 +616,11 @@ def params_to_pt_state_dict(
     params = jax.tree.map(lambda x: np.asarray(x, dtype=np.float32), params)
     v, t = params["visual"], params["text"]
 
-    if isinstance(cfg.vision, (ResNetVisionConfig, ConvNeXtVisionConfig)):
-        if isinstance(cfg.vision, ConvNeXtVisionConfig):
+    eva = getattr(cfg.vision, "timm_trunk", "").startswith("eva")
+    if isinstance(cfg.vision, (ResNetVisionConfig, ConvNeXtVisionConfig)) or eva:
+        if eva:
+            sd = _eva_visual_to_sd(v, cfg.vision)
+        elif isinstance(cfg.vision, ConvNeXtVisionConfig):
             sd = _convnext_visual_to_sd(v, cfg.vision)
         else:
             sd = _resnet_visual_to_sd(v, cfg.vision)

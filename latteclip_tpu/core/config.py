@@ -37,6 +37,11 @@ class VisionConfig:
     attn_pooler_heads: int = 8
     ls_init_value: float = None     # LayerScale init (None = disabled)
     ln_eps: float = 1e-5            # torch default; SigLIP/big_vision use 1e-6
+    # set when the config reaches this native tower through a timm trunk name
+    # (EVA01 giant: a standard pre-norm ViT). Selects the timm Eva checkpoint
+    # layout (visual.trunk.*, q/v bias with implicit-zero k, head proj WITH
+    # bias) and adds patch_bias/proj_b at init.
+    timm_trunk: str = ""
 
     @property
     def heads(self) -> int:
@@ -167,6 +172,18 @@ def _filter_fields(cls, d: Dict[str, Any]) -> Dict[str, Any]:
     return {k: v for k, v in d.items() if k in names}
 
 
+# timm Eva trunks that are standard pre-norm ViTs (no rope/swiglu/sub-LN),
+# expressible on the native tower. EVA02 trunks stay gated: their rope +
+# SwiGLU + sub-LN semantics have no in-environment oracle to validate a
+# from-scratch port against (timm absent, no weights, zero egress).
+EVA_TRUNKS: Dict[str, Dict[str, Any]] = {
+    "eva_giant_patch14_224": dict(
+        width=1408, layers=40, head_width=88, mlp_ratio=6144 / 1408,
+        patch_size=14,
+    ),
+}
+
+
 def config_from_dict(name: str, raw: Dict[str, Any]) -> CLIPConfig:
     quick_gelu = bool(raw.get("quick_gelu", False)) or name.endswith("-quickgelu")
     vision_raw = dict(raw.get("vision_cfg", {}))
@@ -177,7 +194,18 @@ def config_from_dict(name: str, raw: Dict[str, Any]) -> CLIPConfig:
         if isinstance(nk, dict) and "eps" in nk and "ln_eps" not in sub:
             sub["ln_eps"] = float(nk["eps"])
     timm_name = vision_raw.get("timm_model_name")
-    if timm_name is not None:
+    if timm_name in EVA_TRUNKS:
+        # EVA01 giant is architecturally a standard pre-norm ViT (timm
+        # eva.py with qkv_fused, no rope/swiglu) — expressed on the native
+        # tower; timm_pool 'token' == 'tok', timm_proj null == the trunk's
+        # own classifier head (a biased Linear to embed_dim)
+        vision = VisionConfig(
+            image_size=int(vision_raw.get("image_size", 224)),
+            no_ln_pre=True, pool_type="tok", timm_trunk=timm_name,
+            ln_eps=1e-6,  # timm Eva norm_layer eps
+            **EVA_TRUNKS[timm_name],
+        )
+    elif timm_name is not None:
         from latteclip_tpu.models.convnext import CONVNEXT_TRUNKS
 
         if timm_name not in CONVNEXT_TRUNKS:
@@ -256,10 +284,12 @@ def config_from_dict(name: str, raw: Dict[str, Any]) -> CLIPConfig:
 # silently. Re-check the gates each round (e.g. if timm lands in the image).
 _TIMM = "timm vision trunk (timm is not installed in this environment)"
 _ENCDEC = "encoder-decoder HF text tower (mt5/nllb out of scope, models/hf_text.py)"
+_EVA02 = ("timm EVA02 trunk (rope + SwiGLU + sub-LN): no in-environment "
+          "oracle exists to validate a from-scratch port (timm absent, no "
+          "weights, zero egress); EVA01 ships natively — see EVA_TRUNKS")
 GATED_CONFIGS: Dict[str, str] = {
-    "EVA01-g-14": _TIMM, "EVA01-g-14-plus": _TIMM,
-    "EVA02-B-16": _TIMM, "EVA02-E-14": _TIMM, "EVA02-E-14-plus": _TIMM,
-    "EVA02-L-14": _TIMM, "EVA02-L-14-336": _TIMM,
+    "EVA02-B-16": _EVA02, "EVA02-E-14": _EVA02, "EVA02-E-14-plus": _EVA02,
+    "EVA02-L-14": _EVA02, "EVA02-L-14-336": _EVA02,
     "swin_base_patch4_window7_224": _TIMM,
     "vit_medium_patch16_gap_256": _TIMM,
     "vit_relpos_medium_patch16_cls_224": _TIMM,

@@ -74,6 +74,9 @@ def init_vit_params(rng: jax.Array, cfg: VisionConfig, embed_dim: int) -> Params
         # SigLIP-style models (MAP pooling, width == embed_dim) have no
         # final projection (reference big_vision.py:131: head is the pool)
         params["proj"] = jax.random.normal(next(k), (pool_dim, embed_dim)) * scale
+    if cfg.timm_trunk:  # timm Eva: biased patch conv + biased head proj
+        params["patch_bias"] = jnp.zeros((D,))
+        params["proj_b"] = jnp.zeros((embed_dim,))
     if cfg.attentional_pool:
         params["attn_pool"] = init_attn_pool_params(
             next(k), embed_dim, D, cfg.attn_pooler_queries
@@ -283,7 +286,9 @@ def vit_forward(
         pooled = tokens.mean(axis=1) if cfg.pool_type == "avg" else x[:, 0]
 
     if "proj" in params:
-        pooled = layers.dense(pooled, params["proj"], None, dtype)
+        # proj_b: timm-Eva trunks project with the trunk's own biased
+        # classifier head (timm_model.py:61-72, proj=None + num_classes)
+        pooled = layers.dense(pooled, params["proj"], params.get("proj_b"), dtype)
     out = pooled.astype(jnp.float32)
     if output_tokens:
         return out, tokens
