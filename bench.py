@@ -76,7 +76,10 @@ def run(model: str = MODEL, batch: int = BATCH, remat: bool = False) -> dict:
     optimizer = make_optimizer(make_schedule("cosine", 1e-5, warmup=10, total_steps=1000))
     state = create_train_state(params, optimizer, bank)
     hp = LatteHParams(remat=remat)
-    step = jax.jit(make_train_step(cfg, optimizer, hp, table), donate_argnums=(0,))
+    from latteclip_tpu.core.mesh import tpu_compiler_options
+
+    step = jax.jit(make_train_step(cfg, optimizer, hp, table), donate_argnums=(0,),
+                   compiler_options=tpu_compiler_options())
 
     host_batch = make_batch(batch, cfg.vision.image_size, len(classes))
     device_batch = {k: jax.device_put(v) for k, v in host_batch.items()}

@@ -38,6 +38,39 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def tpu_compiler_options() -> Optional[Dict[str, str]]:
+    """Per-computation TPU compiler options for first-party jit sites.
+
+    Raises the scoped-VMEM ceiling so the flash-attention kernel's larger
+    batch groups compile (measured +7% step throughput at 32 MiB — see
+    kernels/attention.py::_legacy_budget). Returns None off-TPU and when
+    LATTECLIP_SCOPED_VMEM_KIB=0 (TPU-only flags crash other backends).
+    XLA_FLAGS cannot carry this flag here: the axon client's XLA rejects
+    TPU-only flags at parse time; per-computation options ship server-side.
+    """
+    if jax.default_backend() != "tpu":
+        return None
+    kib = int(os.environ.get("LATTECLIP_SCOPED_VMEM_KIB", "32768"))
+    if not kib:
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": str(kib)}
+
+
+def tpu_jit(fun=None, **kwargs):
+    """``jax.jit`` + :func:`tpu_compiler_options` (first-party jit sites).
+
+    Any jit that can reach the flash-attention kernel must carry the raised
+    scoped-VMEM option or the kernel's default batch groups fail to compile
+    on TPU (kernels/attention.py::_legacy_budget). Only for RUNTIME jit
+    sites — at module level it would init the backend (and claim the chip)
+    at import time.
+    """
+    if fun is None:
+        return lambda f: tpu_jit(f, **kwargs)
+    kwargs.setdefault("compiler_options", tpu_compiler_options())
+    return jax.jit(fun, **kwargs)
+
+
 def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     model_parallelism: int = 1,
@@ -137,6 +170,7 @@ def make_sharded_train_step(step_fn, mesh: Mesh, state=None):
         in_shardings=(state_sh, data, rep),
         out_shardings=(state_sh, rep),
         donate_argnums=(0,),
+        compiler_options=tpu_compiler_options(),
     )
 
 

@@ -27,6 +27,7 @@ from latteclip_tpu.eval.zero_shot import (
     topk_counts,
 )
 from latteclip_tpu.models.tokenizer import ClipTokenizer
+from latteclip_tpu.core.mesh import tpu_jit
 
 logger = logging.getLogger(__name__)
 
@@ -54,7 +55,7 @@ def extract_features(
     from latteclip_tpu.data import transforms as T
     from latteclip_tpu.models import clip as clip_mod
 
-    @jax.jit
+    @tpu_jit
     def feat_and_logits(p, images_u8):
         images = T.normalize_images(images_u8, *T.model_mean_std(cfg))
         feats = clip_mod.encode_image(p, cfg, images, normalize=True)

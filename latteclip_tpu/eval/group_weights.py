@@ -26,6 +26,7 @@ from latteclip_tpu.models.layers import l2_normalize
 from latteclip_tpu.models.tokenizer import ClipTokenizer
 from latteclip_tpu.train.objective import text_confidence_weights
 from latteclip_tpu.train.state import build_template_table
+from latteclip_tpu.core.mesh import tpu_jit
 
 logger = logging.getLogger(__name__)
 
@@ -49,7 +50,7 @@ def extract_group_weights(
     prototypes = jnp.asarray(memory_bank, jnp.float32)
     classifier = l2_normalize(prototypes)
 
-    @jax.jit
+    @tpu_jit
     def weights_fn(p, images_u8, per_img_tok, per_grp_tok, zs_preds):
         images = T.normalize_images(images_u8, *T.model_mean_std(cfg))
         img = clip_mod.encode_image(p, cfg, images, normalize=True)

@@ -19,6 +19,7 @@ from latteclip_tpu.core.config import CLIPConfig
 from latteclip_tpu.data import transforms as T
 from latteclip_tpu.models import clip as clip_mod
 from latteclip_tpu.train.objective import clip_loss
+from latteclip_tpu.core.mesh import tpu_jit
 
 
 def clip_retrieval_metrics(
@@ -47,7 +48,7 @@ def validation_loss(
 ) -> Dict[str, float]:
     """Iterate (uint8 images, token) batches; returns clip_val_loss + R@k."""
 
-    @jax.jit
+    @tpu_jit
     def encode(p, images_u8, tokens):
         images = T.normalize_images(images_u8, *T.model_mean_std(cfg))
         img = clip_mod.encode_image(p, cfg, images, normalize=True)

@@ -41,6 +41,7 @@ from latteclip_tpu.models import clip as clip_mod
 from latteclip_tpu.models.layers import l2_normalize
 from latteclip_tpu.models.text import text_forward_embeds
 from latteclip_tpu.models.tokenizer import ClipTokenizer
+from latteclip_tpu.core.mesh import tpu_jit
 
 logger = logging.getLogger(__name__)
 
@@ -154,7 +155,7 @@ def make_tpt_adapt_fn(params, cfg: CLIPConfig, prompt: PromptContext, tta: TTACo
         (ctx, _), _ = jax.lax.scan(step, (ctx, opt_state), None, length=tta.tta_steps)
         return logits_of(ctx, view_feats[:1])[0]
 
-    return jax.jit(adapt)
+    return tpu_jit(adapt)
 
 
 def make_rlcf_adapt_fn(
@@ -199,7 +200,7 @@ def make_rlcf_adapt_fn(
         (ctx, _), _ = jax.lax.scan(step, (ctx, opt_state), None, length=tta.tta_steps)
         return logits_of(ctx, view_feats[:1])[0]
 
-    return jax.jit(adapt)
+    return tpu_jit(adapt)
 
 
 def evaluate_tta(
@@ -219,7 +220,7 @@ def evaluate_tta(
     classnames = dataset.display_class_names
     prompt = build_prompt_context(params, cfg, tokenizer, classnames, tta.ctx_init)
 
-    @jax.jit
+    @tpu_jit
     def encode_views(p, views_u8):
         return clip_mod.encode_image(p, cfg, T.normalize_images(views_u8, *T.model_mean_std(cfg)), normalize=True)
 
@@ -233,7 +234,7 @@ def evaluate_tta(
             params, cfg, reward_params, reward_cfg, prompt, tta, reward_class_features
         )
 
-        @jax.jit
+        @tpu_jit
         def encode_reward_views(p, views_u8):
             return clip_mod.encode_image(p, reward_cfg, T.normalize_images(views_u8, *T.model_mean_std(reward_cfg)), normalize=True)
     else:

@@ -25,6 +25,7 @@ from latteclip_tpu.data import transforms as T
 from latteclip_tpu.models import clip as clip_mod
 from latteclip_tpu.models.layers import l2_normalize
 from latteclip_tpu.models.tokenizer import ClipTokenizer
+from latteclip_tpu.core.mesh import tpu_jit
 
 
 def tokenize_class_templates(
@@ -51,7 +52,7 @@ def build_zero_shot_classifier(
     tokens = tokenize_class_templates(tokenizer, classnames, templates)
     C = len(classnames)
 
-    @jax.jit
+    @tpu_jit
     def encode_chunk(p, chunk_tokens):
         feats = clip_mod.encode_text(p, cfg, chunk_tokens, normalize=True)
         feats = feats.reshape(-1, num_templates, feats.shape[-1]).mean(axis=1)
@@ -80,7 +81,7 @@ def prototype_classifier(memory_bank: jnp.ndarray) -> jnp.ndarray:
 def make_eval_step(params, cfg: CLIPConfig, classifier: jnp.ndarray):
     """Compiled fused step: uint8 images -> (logits f32 [B, C])."""
 
-    @jax.jit
+    @tpu_jit
     def step(p, images_u8):
         images = T.normalize_images(images_u8, *T.model_mean_std(cfg))
         feats = clip_mod.encode_image(p, cfg, images, normalize=True)

@@ -86,7 +86,30 @@ def _group_size(b: int, l: int, io_hd: int, cost_fn, iters: int, d: int) -> int:
 
 import os as _os
 
-_LEGACY_BUDGET = int(_os.environ.get("LATTECLIP_ATTN_BUDGET_MB", "12")) * 1024 * 1024
+_legacy_budget_cache = None
+
+
+def _legacy_budget() -> int:
+    """VMEM budget steering the batch-group ladder (lazy: backend-dependent).
+
+    On TPU the default is 24 MB, paired with the raised
+    ``xla_tpu_scoped_vmem_limit_kib=32768`` that every first-party jit site
+    passes via ``core.mesh.tpu_compiler_options()`` — measured round 3:
+    fwd G=8 at 24 MB = 567.4 img/s vs 528.6 at the 12 MB default
+    (tools/r3_vmem2.py; the stock ~16 MB scoped limit rejects G=8 by 2.8 MB).
+    Off-TPU (interpret-mode tests) keeps 12 MB — group size only affects
+    padding there. Override with LATTECLIP_ATTN_BUDGET_MB; if you raise it
+    past ~0.75x the scoped limit, raise LATTECLIP_SCOPED_VMEM_KIB too.
+    """
+    global _legacy_budget_cache
+    if _legacy_budget_cache is None:
+        env = _os.environ.get("LATTECLIP_ATTN_BUDGET_MB")
+        if env is not None:
+            mb = int(env)
+        else:
+            mb = 24 if jax.default_backend() == "tpu" else 12
+        _legacy_budget_cache = mb * 1024 * 1024
+    return _legacy_budget_cache
 
 
 def _fwd_bytes_legacy(g: int, l: int, hd: int) -> int:
@@ -99,8 +122,9 @@ def _bwd_bytes_legacy(g: int, l: int, hd: int) -> int:
 
 
 def _group_size_legacy(l: int, hd: int, cost_fn) -> int:
+    budget = _legacy_budget()
     for g in (16, 8, 4, 2):
-        if cost_fn(g, l, hd) <= _LEGACY_BUDGET:
+        if cost_fn(g, l, hd) <= budget:
             return g
     return 1
 

@@ -25,6 +25,7 @@ from latteclip_tpu.core.config import (
 from latteclip_tpu.models import text as text_mod
 from latteclip_tpu.models import vit as vit_mod
 from latteclip_tpu.models.layers import Params, l2_normalize
+from latteclip_tpu.core.mesh import tpu_jit
 
 
 def init_clip_params(rng: jax.Array, cfg: CLIPConfig) -> Params:
@@ -138,11 +139,11 @@ class CLIPModel:
 
     def __post_init__(self):
         cfg = self.cfg
-        self._encode_image = jax.jit(
+        self._encode_image = tpu_jit(
             lambda p, x, normalize: encode_image(p, cfg, x, normalize=normalize),
             static_argnames="normalize",
         )
-        self._encode_text = jax.jit(
+        self._encode_text = tpu_jit(
             lambda p, t, normalize: encode_text(p, cfg, t, normalize=normalize),
             static_argnames="normalize",
         )

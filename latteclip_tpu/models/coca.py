@@ -38,6 +38,7 @@ from latteclip_tpu.models import text as text_mod
 from latteclip_tpu.models import vit as vit_mod
 from latteclip_tpu.models.layers import Params, l2_normalize
 from latteclip_tpu.train.objective import clip_loss
+from latteclip_tpu.core.mesh import tpu_jit
 
 NEG_INF = -1e9
 
@@ -284,14 +285,14 @@ def generate(
     ctx = cfg.text.context_length
     rng = rng if rng is not None else jax.random.PRNGKey(seed)
 
-    image_latent, image_embs = jax.jit(
+    image_latent, image_embs = tpu_jit(
         lambda p, x: vit_mod.vit_forward(
             p["visual"], cfg.vision, x, dtype=dtype,
             quick_gelu=cfg.quick_gelu, output_tokens=True,
         )
     )(params, images)
 
-    @jax.jit
+    @tpu_jit
     def step_logits(p, tokens):
         _latent, token_embs = coca_text_forward(
             p["text"], cfg.text, tokens, pad_id=cfg.pad_id,
@@ -347,7 +348,7 @@ def generate_beamsearch(
     assert sub * num_beam_groups == num_beams, "num_beam_groups must divide num_beams"
 
     # beams ride the batch axis: encode each image once, repeat its tokens
-    _latent, image_embs = jax.jit(
+    _latent, image_embs = tpu_jit(
         lambda p, x: vit_mod.vit_forward(
             p["visual"], cfg.vision, x, dtype=dtype,
             quick_gelu=cfg.quick_gelu, output_tokens=True,
@@ -355,7 +356,7 @@ def generate_beamsearch(
     )(params, images)
     image_embs = jnp.repeat(image_embs, num_beams, axis=0)
 
-    @jax.jit
+    @tpu_jit
     def step_logits(p, tokens):
         _lat, token_embs = coca_text_forward(
             p["text"], cfg.text, tokens, pad_id=cfg.pad_id,

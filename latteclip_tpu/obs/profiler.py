@@ -25,7 +25,10 @@ def count_params(tree) -> int:
 
 def _compiled_flops(fn, *args) -> Optional[float]:
     try:
-        compiled = jax.jit(fn).lower(*args).compile()
+        from latteclip_tpu.core.mesh import tpu_compiler_options
+
+        compiled = jax.jit(fn).lower(*args).compile(
+            compiler_options=tpu_compiler_options())
         analysis = compiled.cost_analysis()
         if isinstance(analysis, (list, tuple)):
             analysis = analysis[0]

@@ -24,6 +24,7 @@ from flax import struct
 from latteclip_tpu.core.config import CLIPConfig
 from latteclip_tpu.models import clip as clip_mod
 from latteclip_tpu.models.tokenizer import ClipTokenizer
+from latteclip_tpu.core.mesh import tpu_jit
 
 
 @struct.dataclass
@@ -55,7 +56,7 @@ def init_memory_bank(
     texts = [templates[0](c) for c in classnames]
     tokens = tokenizer(texts)
 
-    @jax.jit
+    @tpu_jit
     def encode(p, t):
         return clip_mod.encode_text(p, cfg, t, normalize=True)
 

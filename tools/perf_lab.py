@@ -166,7 +166,9 @@ def _make_step(model="ViT-B-16", remat=True, augment=True):
     optimizer = make_optimizer(make_schedule("cosine", 1e-5, warmup=10, total_steps=1000))
     state = create_train_state(params, optimizer, bank)
     hp = LatteHParams(remat=remat, augment=augment)
-    step = jax.jit(make_train_step(cfg, optimizer, hp, table), donate_argnums=(0,))
+    from latteclip_tpu.core.mesh import tpu_compiler_options
+    step = jax.jit(make_train_step(cfg, optimizer, hp, table), donate_argnums=(0,),
+                   compiler_options=tpu_compiler_options())
     return cfg, state, step
 
 
@@ -216,7 +218,9 @@ def bench_flyp_step(model="ViT-B-16", batch=512, remat=True, iters=6):
     optimizer = make_optimizer(make_schedule("cosine", 1e-5, warmup=10, total_steps=1000))
     state = create_train_state(params, optimizer, bank)
     hp = LatteHParams(remat=remat)
-    step = jax.jit(make_flyp_step(cfg, optimizer, hp, table), donate_argnums=(0,))
+    from latteclip_tpu.core.mesh import tpu_compiler_options
+    step = jax.jit(make_flyp_step(cfg, optimizer, hp, table), donate_argnums=(0,),
+                   compiler_options=tpu_compiler_options())
 
     rng = np.random.default_rng(0)
     db = {
@@ -251,22 +255,24 @@ def bench_towers(model="ViT-B-16", batch=512):
     imgs = jax.device_put(rng.standard_normal((batch, cfg.vision.image_size, cfg.vision.image_size, 3)).astype(np.float32))
     toks = jax.device_put(rng.integers(1, 49406, size=(2 * batch, 77)).astype(np.int32))
 
+    from latteclip_tpu.core.mesh import tpu_jit
+
     for remat in (True, False):
         try:
-            f = jax.jit(jax.grad(lambda p: jnp.sum(
+            f = tpu_jit(jax.grad(lambda p: jnp.sum(
                 clip_mod.encode_image(p, cfg, imgs, normalize=True, remat=remat).astype(jnp.float32))))
             t = timeit(lambda p: f(p)["logit_scale"], params, iters=5)
-            print(f"vision grad bs{batch} remat={remat}: {t*1e3:8.1f} ms")
+            print(f"vision grad bs{batch} remat={remat}: {t*1e3:8.1f} ms", flush=True)
         except Exception as e:
-            print(f"vision grad remat={remat}: FAILED {str(e)[:120]}")
+            print(f"vision grad remat={remat}: FAILED {str(e)[:120]}", flush=True)
     for remat in (True, False):
         try:
-            f = jax.jit(jax.grad(lambda p: jnp.sum(
+            f = tpu_jit(jax.grad(lambda p: jnp.sum(
                 clip_mod.encode_text(p, cfg, toks, normalize=True, remat=remat).astype(jnp.float32))))
             t = timeit(lambda p: f(p)["logit_scale"], params, iters=5)
-            print(f"text  grad 2x{batch} remat={remat}: {t*1e3:8.1f} ms")
+            print(f"text  grad 2x{batch} remat={remat}: {t*1e3:8.1f} ms", flush=True)
         except Exception as e:
-            print(f"text  grad remat={remat}: FAILED {str(e)[:120]}")
+            print(f"text  grad remat={remat}: FAILED {str(e)[:120]}", flush=True)
 
 
 def main():

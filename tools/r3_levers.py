@@ -45,7 +45,9 @@ def make_step(model, remat, remat_text, fuse_text_fwd):
     optimizer = make_optimizer(make_schedule("cosine", 1e-5, warmup=10, total_steps=1000))
     state = create_train_state(params, optimizer, bank)
     hp = LatteHParams(remat=remat, remat_text=remat_text, fuse_text_fwd=fuse_text_fwd)
-    step = jax.jit(make_train_step(cfg, optimizer, hp, table), donate_argnums=(0,))
+    from latteclip_tpu.core.mesh import tpu_compiler_options
+    step = jax.jit(make_train_step(cfg, optimizer, hp, table), donate_argnums=(0,),
+                   compiler_options=tpu_compiler_options())
     return cfg, state, step
 
 
