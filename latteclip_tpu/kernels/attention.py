@@ -53,8 +53,8 @@ _QKT = (((2,), (2,)), ((0,), (0,)))    # [G,Lq,D] x [G,Lk,D] -> [G,Lq,Lk]
 _PV = (((2,), (1,)), ((0,), (0,)))     # [G,Lq,Lk] x [G,Lk,D] -> [G,Lq,D]
 _PT_DO = (((1,), (1,)), ((0,), (0,)))  # [G,Lq,Lk] x [G,Lq,D] -> [G,Lk,D]
 
-_VMEM_BUDGET = 10 * 1024 * 1024  # headroom under the ~16M scoped limit (the
-# scratch model underestimates Mosaic's true stack by ~1.4x — measured)
+# NOTE: the head-split scratch model underestimates Mosaic's true stack by
+# ~1.4x (measured); its ladder shares _legacy_budget() below.
 
 
 def _fwd_bytes(g: int, l: int, io_hd: int, iters: int, d: int) -> int:
@@ -74,10 +74,13 @@ def _bwd_bytes(g: int, l: int, io_hd: int, iters: int, d: int) -> int:
 
 
 def _group_size(b: int, l: int, io_hd: int, cost_fn, iters: int, d: int) -> int:
-    for g in (32, 16, 8, 4, 2):
-        if cost_fn(g, l, io_hd, iters, d) <= _VMEM_BUDGET:
+    # head-split lse blocks are [1, HP, G, L]: Mosaic requires the
+    # second-to-last block dim divisible by 8, so G < 8 cannot lower — the
+    # ladder floors at 8 (batch rows are padded to G)
+    for g in (32, 16):
+        if cost_fn(g, l, io_hd, iters, d) <= _legacy_budget():
             return g
-    return 1
+    return 8
 
 
 # -- legacy whole-row path: the original, measured-good formulas + budget ----
@@ -121,8 +124,12 @@ def _bwd_bytes_legacy(g: int, l: int, hd: int) -> int:
                 + 3 * l * l * 4 + 2 * l * l * 2)
 
 
-def _group_size_legacy(l: int, hd: int, cost_fn) -> int:
-    budget = _legacy_budget()
+def _group_size_legacy(l: int, hd: int, cost_fn, which: str = "fwd") -> int:
+    # LATTECLIP_ATTN_BUDGET_MB_FWD / _BWD steer the two ladders separately
+    # (experiment knob: bwd G=8 needs ~44 MB while fwd G=16 regresses, so a
+    # shared budget cannot express fwd G=8 + bwd G=8)
+    env = _os.environ.get(f"LATTECLIP_ATTN_BUDGET_MB_{which.upper()}")
+    budget = int(env) * 1024 * 1024 if env is not None else _legacy_budget()
     for g in (16, 8, 4, 2):
         if cost_fn(g, l, hd) <= budget:
             return g
@@ -420,7 +427,7 @@ def _make_fa(num_heads: int):
                 dqkv = dqkv[:B]
             return (dqkv,)
 
-        G = _group_size_legacy(L, HD, _bwd_bytes_legacy)
+        G = _group_size_legacy(L, HD, _bwd_bytes_legacy, which="bwd")
         qkv = _pad_rows(qkv, G)
         o = _pad_rows(o, G)
         do = _pad_rows(g.astype(qkv.dtype), G)
