@@ -283,7 +283,6 @@ def config_from_dict(name: str, raw: Dict[str, Any]) -> CLIPConfig:
 # either resolves here or appears in this list — nothing goes missing
 # silently. Re-check the gates each round (e.g. if timm lands in the image).
 _TIMM = "timm vision trunk (timm is not installed in this environment)"
-_ENCDEC = "encoder-decoder HF text tower (mt5/nllb out of scope, models/hf_text.py)"
 _EVA02 = ("timm EVA02 trunk (rope + SwiGLU + sub-LN): no in-environment "
           "oracle exists to validate a from-scratch port (timm absent, no "
           "weights, zero egress); EVA01 ships natively — see EVA_TRUNKS")
@@ -293,9 +292,6 @@ GATED_CONFIGS: Dict[str, str] = {
     "swin_base_patch4_window7_224": _TIMM,
     "vit_medium_patch16_gap_256": _TIMM,
     "vit_relpos_medium_patch16_cls_224": _TIMM,
-    "mt5-base-ViT-B-32": _ENCDEC, "mt5-xl-ViT-H-14": _ENCDEC,
-    "nllb-clip-base": _ENCDEC, "nllb-clip-large": _ENCDEC,
-    "nllb-clip-base-siglip": _ENCDEC, "nllb-clip-large-siglip": _ENCDEC,
     "coca_roberta-ViT-B-32": "CoCa with an HF text trunk — the CoCa text "
     "tower here is the native cls-mask transformer (models/coca.py); "
     "combining it with models/hf_text.py is unwired",

@@ -39,10 +39,13 @@ def xla_attention(
     causal: bool = False,
     dtype: jnp.dtype = jnp.bfloat16,
     bias: jnp.ndarray = None,
+    scale: float = None,
 ) -> jnp.ndarray:
     """Reference attention in plain XLA. q: [B, Lq, H, Hd], k/v:
     [B, Lk, H, Hd] -> [B, Lq, H, Hd]; ``bias`` is an optional additive f32
     logit bias broadcastable to [B, H, Lq, Lk] (padding masks, ALiBi, ...).
+    ``scale`` overrides the default 1/sqrt(head_dim) logit scaling (T5-family
+    attention is unscaled — pass 1.0).
 
     Logit accumulation and softmax in f32 (matches torch-AMP semantics of
     the reference's nn.MultiheadAttention path, reference
@@ -51,7 +54,8 @@ def xla_attention(
     precision semantics stay in one place.
     """
     head_dim = q.shape[-1]
-    scale = head_dim ** -0.5
+    if scale is None:
+        scale = head_dim ** -0.5
     q = (q * scale).astype(dtype)
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k.astype(dtype), preferred_element_type=jnp.float32

@@ -1,11 +1,12 @@
 """HF architecture registry: per-model-type config attribute names + default
 pooler (counterpart of reference ``src/open_clip/hf_configs.py:3-79``).
 
-Only the BERT family (bert / roberta / xlm-roberta) has a native JAX tower
-here (``models/hf_text.py``); mt5 / m2m_100 entries are kept for registry
-parity and raise at build time (encoder-decoder towers are out of scope —
-the reference itself needs installed HF weights for them, and this
-environment has no network egress).
+Every entry has a native JAX tower in ``models/hf_text.py``: the BERT
+family (bert / roberta / xlm-roberta) as post-LN masked encoders, and the
+encoder-decoder families exactly as the reference consumes them — the
+ENCODER side only (``AutoModel(...).encoder``, reference
+hf_model.py:124-126): mt5 as the T5 encoder stack, m2m_100 (NLLB) as the
+fairseq-style pre-LN encoder.
 """
 
 _ENCODER_NAMES = {
@@ -47,4 +48,4 @@ arch_dict = {
 }
 
 # model types the native JAX tower implements
-SUPPORTED_MODEL_TYPES = ("bert", "roberta", "xlm-roberta")
+SUPPORTED_MODEL_TYPES = ("bert", "roberta", "xlm-roberta", "mt5", "m2m_100")

@@ -4,7 +4,18 @@ Counterpart of the reference's ``HFTextEncoder``
 (``src/open_clip/hf_model.py:96-169``), which wraps torch ``AutoModel``.
 Here the BERT family (bert / roberta / xlm-roberta) is implemented directly
 as a post-LN masked encoder over stacked params (lax.scan, like the CLIP
-towers), with:
+towers). The encoder-decoder families the reference reaches through
+``AutoModel(...).encoder`` (hf_model.py:124-126) are also native:
+
+* ``mt5`` — the T5 encoder stack: RMSNorm (no bias / no mean subtraction),
+  bucketed relative position bias shared across layers, UNSCALED attention
+  logits (the 1/sqrt(d) is folded into T5's init), gated-GELU feed-forward,
+  no absolute position table;
+* ``m2m_100`` (NLLB) — pre-LN encoder with fairseq sinusoidal position
+  embeddings (pad-offset ids, table offset 2), sqrt(d_model) embedding
+  scale, ReLU feed-forward, final LayerNorm.
+
+Shared machinery for every family:
 
 * the pooler registry — ``mean_pooler`` / ``max_pooler`` / ``cls_pooler``
   (+ tanh pooler head) / ``cls_last_hidden_state_pooler``
@@ -49,6 +60,21 @@ KNOWN_HF_CONFIGS = {
     "bert-base-uncased": dict(model_type="bert", vocab_size=30522, width=768,
                               layers=12, heads=12, intermediate=3072,
                               max_positions=512, pad_id=0, ln_eps=1e-12),
+    # T5 encoders have no absolute position table; max_positions is unused.
+    "google/mt5-base": dict(model_type="mt5", vocab_size=250112, width=768,
+                            layers=12, heads=12, intermediate=2048, d_kv=64,
+                            max_positions=512, pad_id=0, ln_eps=1e-6),
+    "google/mt5-xl": dict(model_type="mt5", vocab_size=250112, width=2048,
+                          layers=24, heads=32, intermediate=5120, d_kv=64,
+                          max_positions=512, pad_id=0, ln_eps=1e-6),
+    "facebook/nllb-200-distilled-600M": dict(
+        model_type="m2m_100", vocab_size=256206, width=1024, layers=12,
+        heads=16, intermediate=4096, max_positions=1024, pad_id=1,
+        ln_eps=1e-5, scale_embedding=True),
+    "facebook/nllb-200-distilled-1.3B": dict(
+        model_type="m2m_100", vocab_size=256206, width=1024, layers=24,
+        heads=16, intermediate=8192, max_positions=1024, pad_id=1,
+        ln_eps=1e-5, scale_embedding=True),
 }
 
 
@@ -73,12 +99,19 @@ class HFTextConfig:
     context_length: int = 77        # tokenizer padding length
     pooler_type: str = "mean_pooler"
     proj_type: Optional[str] = None  # None | 'linear' | 'mlp'
+    # T5-family (mt5) geometry: per-head dim is d_kv (total inner dim
+    # heads*d_kv may differ from width) + relative-position-bias bucketing
+    d_kv: int = 64
+    rel_buckets: int = 32
+    rel_max_distance: int = 128
+    # m2m_100: multiply token embeddings by sqrt(width) (fairseq convention)
+    scale_embedding: bool = False
 
     @property
     def position_offset(self) -> int:
-        # RoBERTa position ids start at pad_id + 1 (HF
+        # RoBERTa/M2M100 position ids start at pad_id + 1 (HF
         # create_position_ids_from_input_ids); BERT starts at 0
-        return self.pad_id + 1 if self.model_type in ("roberta", "xlm-roberta") else 0
+        return self.pad_id + 1 if self.model_type in ("roberta", "xlm-roberta", "m2m_100") else 0
 
 
 def hf_text_config(text_raw: Dict) -> HFTextConfig:
@@ -125,7 +158,72 @@ def hf_text_config(text_raw: Dict) -> HFTextConfig:
     return HFTextConfig(**base)
 
 
+def _add_proj_params(params, cfg, embed_dim, normal, D):
+    proj = cfg.proj_type
+    if proj is None and D != embed_dim:
+        proj = "linear"  # a projection is mandatory when dims differ
+    if proj == "linear":
+        params["proj_w"] = normal((D, embed_dim))
+    elif proj == "mlp":
+        hidden = (D + embed_dim) // 2
+        params["proj1_w"] = normal((D, hidden))
+        params["proj2_w"] = normal((hidden, embed_dim))
+    return params
+
+
+def _init_t5_params(rng: jax.Array, cfg: HFTextConfig, embed_dim: int) -> Params:
+    D, L, M, inner = cfg.width, cfg.layers, cfg.intermediate, cfg.heads * cfg.d_kv
+    k = iter(jax.random.split(rng, 16))
+    normal = lambda shape, s=1.0: jax.random.normal(next(k), shape) * s  # noqa: E731
+    # T5 init folds the attention scale into the weights (factor=1.0 scheme)
+    blocks = {
+        "q_w": normal((L, D, inner), (D * cfg.d_kv) ** -0.5),
+        "k_w": normal((L, D, inner), D ** -0.5),
+        "v_w": normal((L, D, inner), D ** -0.5),
+        "o_w": normal((L, inner, D), inner ** -0.5),
+        "ln1_scale": jnp.ones((L, D)),
+        "wi0_w": normal((L, D, M), D ** -0.5),
+        "wi1_w": normal((L, D, M), D ** -0.5),
+        "wo_w": normal((L, M, D), M ** -0.5),
+        "ln2_scale": jnp.ones((L, D)),
+    }
+    params = {
+        "word_emb": normal((cfg.vocab_size, D)),
+        "rel_bias": normal((cfg.rel_buckets, cfg.heads), (D // cfg.heads) ** -0.5),
+        "final_ln_scale": jnp.ones((D,)),
+        "blocks": blocks,
+    }
+    return _add_proj_params(params, cfg, embed_dim, lambda s: normal(s, 0.02), D)
+
+
+def _init_m2m_params(rng: jax.Array, cfg: HFTextConfig, embed_dim: int) -> Params:
+    D, L, M = cfg.width, cfg.layers, cfg.intermediate
+    k = iter(jax.random.split(rng, 16))
+    s = 0.02
+    normal = lambda shape: jax.random.normal(next(k), shape) * s  # noqa: E731
+    blocks = {
+        "q_w": normal((L, D, D)), "q_b": jnp.zeros((L, D)),
+        "k_w": normal((L, D, D)), "k_b": jnp.zeros((L, D)),
+        "v_w": normal((L, D, D)), "v_b": jnp.zeros((L, D)),
+        "o_w": normal((L, D, D)), "o_b": jnp.zeros((L, D)),
+        "ln1_scale": jnp.ones((L, D)), "ln1_bias": jnp.zeros((L, D)),
+        "fc1_w": normal((L, D, M)), "fc1_b": jnp.zeros((L, M)),
+        "fc2_w": normal((L, M, D)), "fc2_b": jnp.zeros((L, D)),
+        "ln2_scale": jnp.ones((L, D)), "ln2_bias": jnp.zeros((L, D)),
+    }
+    params = {
+        "word_emb": normal((cfg.vocab_size, D)),
+        "final_ln_scale": jnp.ones((D,)), "final_ln_bias": jnp.zeros((D,)),
+        "blocks": blocks,
+    }
+    return _add_proj_params(params, cfg, embed_dim, normal, D)
+
+
 def init_hf_text_params(rng: jax.Array, cfg: HFTextConfig, embed_dim: int) -> Params:
+    if cfg.model_type == "mt5":
+        return _init_t5_params(rng, cfg, embed_dim)
+    if cfg.model_type == "m2m_100":
+        return _init_m2m_params(rng, cfg, embed_dim)
     D, L, M = cfg.width, cfg.layers, cfg.intermediate
     k = iter(jax.random.split(rng, 24))
     s = 0.02  # HF BertConfig initializer_range default
@@ -153,16 +251,7 @@ def init_hf_text_params(rng: jax.Array, cfg: HFTextConfig, embed_dim: int) -> Pa
     if cfg.pooler_type == "cls_pooler":
         params["pooler_w"] = normal((D, D))
         params["pooler_b"] = jnp.zeros((D,))
-    proj = cfg.proj_type
-    if proj is None and D != embed_dim:
-        proj = "linear"  # a projection is mandatory when dims differ
-    if proj == "linear":
-        params["proj_w"] = normal((D, embed_dim))
-    elif proj == "mlp":
-        hidden = (D + embed_dim) // 2
-        params["proj1_w"] = normal((D, hidden))
-        params["proj2_w"] = normal((hidden, embed_dim))
-    return params
+    return _add_proj_params(params, cfg, embed_dim, normal, D)
 
 
 def _ln(x, scale, bias, eps):
@@ -171,6 +260,150 @@ def _ln(x, scale, bias, eps):
     var = ((xf - mu) ** 2).mean(-1, keepdims=True)
     out = (xf - mu) * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     return out.astype(x.dtype)
+
+
+def _rms(x, scale, eps):
+    # T5LayerNorm: no mean subtraction, no bias; variance in f32
+    xf = x.astype(jnp.float32)
+    var = (xf * xf).mean(-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def _t5_rel_buckets(T: int, num_buckets: int, max_distance: int) -> np.ndarray:
+    """Bidirectional T5 relative-position buckets [T, T] (HF
+    ``T5Attention._relative_position_bucket``): half the buckets for each
+    sign, half of those exact, the rest log-spaced out to max_distance."""
+    ctx = np.arange(T)
+    rel = ctx[None, :] - ctx[:, None]          # memory_pos - query_pos
+    nb = num_buckets // 2
+    ret = (rel > 0).astype(np.int32) * nb
+    n = np.abs(rel)
+    max_exact = nb // 2
+    large = max_exact + (
+        np.log(np.maximum(n, 1) / max_exact)
+        / np.log(max_distance / max_exact) * (nb - max_exact)
+    ).astype(np.int32)
+    return ret + np.where(n < max_exact, n, np.minimum(large, nb - 1))
+
+
+def _sinusoid_table(n_pos: int, dim: int, padding_idx: int) -> np.ndarray:
+    """fairseq/M2M100 sinusoidal table [n_pos, dim]: first half sin, second
+    half cos (NOT interleaved), zeroed at padding_idx (HF
+    ``M2M100SinusoidalPositionalEmbedding.get_embedding``)."""
+    half = dim // 2
+    freq = np.exp(np.arange(half, dtype=np.float64) * -(np.log(10000.0) / (half - 1)))
+    ang = np.arange(n_pos, dtype=np.float64)[:, None] * freq[None, :]
+    emb = np.concatenate([np.sin(ang), np.cos(ang)], axis=1)
+    if dim % 2 == 1:
+        emb = np.concatenate([emb, np.zeros((n_pos, 1))], axis=1)
+    emb[padding_idx] = 0.0
+    return emb.astype(np.float32)
+
+
+def _pool_project(x, mask, params, cfg, dtype):
+    """Shared pooler registry + projection head (reference
+    hf_model.py:36-93,141-152). ``x``: [B, T, D] f32, ``mask``: [B, T]."""
+    maskf = mask.astype(jnp.float32)
+    if cfg.pooler_type == "mean_pooler":
+        pooled = (x * maskf[:, :, None]).sum(1) / maskf.sum(1, keepdims=True)
+    elif cfg.pooler_type == "max_pooler":
+        pooled = jnp.where(maskf[:, :, None] == 0, -jnp.inf, x).max(axis=1)
+    elif cfg.pooler_type == "cls_pooler":
+        pooled = x[:, 0]
+        if "pooler_w" in params:  # HF tanh pooler head (BertPooler)
+            pooled = jnp.tanh(
+                layers.dense(pooled.astype(jnp.float32), params["pooler_w"],
+                             params["pooler_b"], jnp.float32)
+            )
+    elif cfg.pooler_type == "cls_last_hidden_state_pooler":
+        pooled = x[:, 0]
+    else:
+        raise ValueError(f"unknown pooler_type: {cfg.pooler_type}")
+
+    pooled = pooled.astype(dtype)
+    if "proj_w" in params:
+        pooled = layers.dense(pooled, params["proj_w"], None, dtype)
+    elif "proj1_w" in params:
+        h = layers.gelu(layers.dense(pooled, params["proj1_w"], None, dtype))
+        pooled = layers.dense(h, params["proj2_w"], None, dtype)
+    return pooled.astype(jnp.float32)
+
+
+def _t5_forward(params, cfg, tokens, *, dtype, remat):
+    from latteclip_tpu.kernels import xla_attention
+
+    mask = (tokens != cfg.pad_id).astype(jnp.int32)
+    B, T = tokens.shape
+    H, dk = cfg.heads, cfg.d_kv
+    inner = H * dk
+    x = params["word_emb"][tokens].astype(dtype)  # no pos table, no scale
+    # position bias: layer 0's relative_attention_bias, shared by all layers,
+    # with the pad mask folded in (HF T5Stack adds the extended mask into it)
+    buckets = _t5_rel_buckets(T, cfg.rel_buckets, cfg.rel_max_distance)
+    rel = jnp.transpose(params["rel_bias"][buckets], (2, 0, 1))  # [H, T, T]
+    bias = rel[None].astype(jnp.float32) + jnp.where(
+        mask == 0, NEG_INF, 0.0
+    ).astype(jnp.float32)[:, None, None, :]
+
+    def body(carry, p):
+        h = _rms(carry, p["ln1_scale"], cfg.ln_eps).astype(dtype)
+        q = layers.dense(h, p["q_w"], None, dtype).reshape(B, T, H, dk)
+        k = layers.dense(h, p["k_w"], None, dtype).reshape(B, T, H, dk)
+        v = layers.dense(h, p["v_w"], None, dtype).reshape(B, T, H, dk)
+        # T5 attention is UNSCALED (the 1/sqrt(d) lives in the init)
+        attn = xla_attention(q, k, v, dtype=dtype, bias=bias, scale=1.0)
+        carry = carry + layers.dense(attn.reshape(B, T, inner), p["o_w"], None, dtype)
+        h = _rms(carry, p["ln2_scale"], cfg.ln_eps).astype(dtype)
+        # mt5 / T5-v1.1 gated-GELU FF ("gelu_new" = tanh approximation)
+        ff = layers.gelu_tanh(layers.dense(h, p["wi0_w"], None, dtype)) \
+            * layers.dense(h, p["wi1_w"], None, dtype)
+        carry = carry + layers.dense(ff, p["wo_w"], None, dtype)
+        return carry, None
+
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+    x = _rms(x, params["final_ln_scale"], cfg.ln_eps).astype(jnp.float32)
+    return _pool_project(x, mask, params, cfg, dtype)
+
+
+def _m2m_forward(params, cfg, tokens, *, dtype, remat):
+    from latteclip_tpu.kernels import xla_attention
+
+    mask = (tokens != cfg.pad_id).astype(jnp.int32)
+    B, T = tokens.shape
+    # sinusoidal table rows go up to pad_id + T (position-id scheme shared
+    # with RoBERTa); the table itself carries the fairseq offset of 2
+    if cfg.pad_id + T >= cfg.max_positions + 2:
+        raise ValueError(
+            f"sequence length {T} exceeds the sinusoidal table "
+            f"(max_positions={cfg.max_positions} + offset 2)"
+        )
+    pos_ids = jnp.cumsum(mask, axis=1) * mask + cfg.pad_id
+    table = jnp.asarray(_sinusoid_table(cfg.max_positions + 2, cfg.width, cfg.pad_id))
+    scale = cfg.width ** 0.5 if cfg.scale_embedding else 1.0
+    x = (params["word_emb"][tokens] * scale + table[pos_ids]).astype(dtype)
+    mask_bias = jnp.where(mask == 0, NEG_INF, 0.0).astype(jnp.float32)[:, None, None, :]
+    H = cfg.heads
+    hd = cfg.width // H
+
+    def body(carry, p):
+        h = _ln(carry, p["ln1_scale"], p["ln1_bias"], cfg.ln_eps).astype(dtype)
+        q = layers.dense(h, p["q_w"], p["q_b"], dtype).reshape(B, T, H, hd)
+        k = layers.dense(h, p["k_w"], p["k_b"], dtype).reshape(B, T, H, hd)
+        v = layers.dense(h, p["v_w"], p["v_b"], dtype).reshape(B, T, H, hd)
+        attn = xla_attention(q, k, v, dtype=dtype, bias=mask_bias).reshape(B, T, cfg.width)
+        carry = carry + layers.dense(attn, p["o_w"], p["o_b"], dtype)
+        h = _ln(carry, p["ln2_scale"], p["ln2_bias"], cfg.ln_eps).astype(dtype)
+        ff = jax.nn.relu(layers.dense(h, p["fc1_w"], p["fc1_b"], dtype))
+        carry = carry + layers.dense(ff, p["fc2_w"], p["fc2_b"], dtype)
+        return carry, None
+
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+    x = _ln(x, params["final_ln_scale"], params["final_ln_bias"], cfg.ln_eps)
+    return _pool_project(x.astype(jnp.float32), mask, params, cfg, dtype)
 
 
 def _masked_attention(x, p, mask_bias, num_heads, dtype):
@@ -195,6 +428,11 @@ def hf_text_forward(
     remat: bool = False,
 ) -> jnp.ndarray:
     """Token ids [B, T] -> pooled+projected features [B, embed_dim] (f32)."""
+    del embed_dim  # geometry is fixed by the param shapes
+    if cfg.model_type == "mt5":
+        return _t5_forward(params, cfg, tokens, dtype=dtype, remat=remat)
+    if cfg.model_type == "m2m_100":
+        return _m2m_forward(params, cfg, tokens, dtype=dtype, remat=remat)
     mask = (tokens != cfg.pad_id).astype(jnp.int32)          # [B, T]
     B, T = tokens.shape
     # static bound: RoBERTa positions reach pad_id + T; a silent JAX gather
@@ -231,45 +469,107 @@ def hf_text_forward(
     if remat:  # per-block gradient checkpointing, like the CLIP towers
         body = jax.checkpoint(body, prevent_cse=False)
     x, _ = jax.lax.scan(body, x, params["blocks"])
-    x = x.astype(jnp.float32)
-
-    maskf = mask.astype(jnp.float32)
-    if cfg.pooler_type == "mean_pooler":
-        pooled = (x * maskf[:, :, None]).sum(1) / maskf.sum(1, keepdims=True)
-    elif cfg.pooler_type == "max_pooler":
-        pooled = jnp.where(maskf[:, :, None] == 0, -jnp.inf, x).max(axis=1)
-    elif cfg.pooler_type == "cls_pooler":
-        pooled = x[:, 0]
-        if "pooler_w" in params:  # HF tanh pooler head (BertPooler)
-            pooled = jnp.tanh(
-                layers.dense(pooled.astype(jnp.float32), params["pooler_w"],
-                             params["pooler_b"], jnp.float32)
-            )
-    elif cfg.pooler_type == "cls_last_hidden_state_pooler":
-        pooled = x[:, 0]
-    else:
-        raise ValueError(f"unknown pooler_type: {cfg.pooler_type}")
-
-    pooled = pooled.astype(dtype)
-    if "proj_w" in params:
-        pooled = layers.dense(pooled, params["proj_w"], None, dtype)
-    elif "proj1_w" in params:
-        h = layers.gelu(layers.dense(pooled, params["proj1_w"], None, dtype))
-        pooled = layers.dense(h, params["proj2_w"], None, dtype)
-    return pooled.astype(jnp.float32)
+    return _pool_project(x.astype(jnp.float32), mask, params, cfg, dtype)
 
 
 # ---------------------------------------------------------------------------
 # HF state-dict import
 # ---------------------------------------------------------------------------
 
+def _import_t5_state_dict(sd: Dict[str, np.ndarray], cfg: HFTextConfig) -> Params:
+    """T5/mt5 ENCODER naming (``block.{i}.layer.{0,1}...``) -> pytree. The
+    reference stores ``AutoModel(...).encoder`` as its transformer
+    (hf_model.py:124-126), so checkpoint keys carry no ``encoder.`` prefix;
+    a live ``T5EncoderModel``/``MT5EncoderModel`` state_dict does — both
+    are accepted (normalized by the caller)."""
+    L = cfg.layers
+
+    def lin(fmt):
+        return np.stack([sd[fmt.format(i)].T for i in range(L)]).copy()
+
+    def raw(fmt):
+        return np.stack([sd[fmt.format(i)] for i in range(L)])
+
+    blocks = {
+        "q_w": lin("block.{}.layer.0.SelfAttention.q.weight"),
+        "k_w": lin("block.{}.layer.0.SelfAttention.k.weight"),
+        "v_w": lin("block.{}.layer.0.SelfAttention.v.weight"),
+        "o_w": lin("block.{}.layer.0.SelfAttention.o.weight"),
+        "ln1_scale": raw("block.{}.layer.0.layer_norm.weight"),
+        "wi0_w": lin("block.{}.layer.1.DenseReluDense.wi_0.weight"),
+        "wi1_w": lin("block.{}.layer.1.DenseReluDense.wi_1.weight"),
+        "wo_w": lin("block.{}.layer.1.DenseReluDense.wo.weight"),
+        "ln2_scale": raw("block.{}.layer.1.layer_norm.weight"),
+    }
+    return {
+        "word_emb": sd["embed_tokens.weight"],
+        "rel_bias": sd["block.0.layer.0.SelfAttention.relative_attention_bias.weight"],
+        "final_ln_scale": sd["final_layer_norm.weight"],
+        "blocks": blocks,
+    }
+
+
+def _import_m2m_state_dict(sd: Dict[str, np.ndarray], cfg: HFTextConfig) -> Params:
+    """M2M100/NLLB ENCODER naming (``layers.{i}.self_attn...``) -> pytree.
+    The sinusoidal position table is recomputed, not imported (HF registers
+    it as a non-persistent buffer)."""
+    L = cfg.layers
+
+    def lin(fmt):
+        return np.stack([sd[fmt.format(i)].T for i in range(L)]).copy()
+
+    def raw(fmt):
+        return np.stack([sd[fmt.format(i)] for i in range(L)])
+
+    blocks = {
+        "q_w": lin("layers.{}.self_attn.q_proj.weight"),
+        "q_b": raw("layers.{}.self_attn.q_proj.bias"),
+        "k_w": lin("layers.{}.self_attn.k_proj.weight"),
+        "k_b": raw("layers.{}.self_attn.k_proj.bias"),
+        "v_w": lin("layers.{}.self_attn.v_proj.weight"),
+        "v_b": raw("layers.{}.self_attn.v_proj.bias"),
+        "o_w": lin("layers.{}.self_attn.out_proj.weight"),
+        "o_b": raw("layers.{}.self_attn.out_proj.bias"),
+        "ln1_scale": raw("layers.{}.self_attn_layer_norm.weight"),
+        "ln1_bias": raw("layers.{}.self_attn_layer_norm.bias"),
+        "fc1_w": lin("layers.{}.fc1.weight"),
+        "fc1_b": raw("layers.{}.fc1.bias"),
+        "fc2_w": lin("layers.{}.fc2.weight"),
+        "fc2_b": raw("layers.{}.fc2.bias"),
+        "ln2_scale": raw("layers.{}.final_layer_norm.weight"),
+        "ln2_bias": raw("layers.{}.final_layer_norm.bias"),
+    }
+    return {
+        "word_emb": sd["embed_tokens.weight"],
+        "final_ln_scale": sd["layer_norm.weight"],
+        "final_ln_bias": sd["layer_norm.bias"],
+        "blocks": blocks,
+    }
+
+
 def import_hf_state_dict(state_dict: Dict, cfg: HFTextConfig) -> Params:
-    """HF torch ``state_dict`` (BERT-family AutoModel naming) -> param pytree.
+    """HF torch ``state_dict`` -> param pytree (dispatches on
+    ``cfg.model_type``).
 
     Torch ``nn.Linear`` stores ``(out, in)``; kernels are transposed into
     this package's ``(in, out)`` dense convention. A leading ``bert.`` /
-    ``roberta.`` prefix is stripped if present.
+    ``roberta.`` prefix — or, for the encoder-decoder families, the
+    ``encoder.`` prefix a live ``AutoModel`` state_dict carries — is
+    stripped if present.
     """
+    if cfg.model_type in ("mt5", "m2m_100"):
+        sd = {}
+        for k, v in state_dict.items():
+            if k in ("shared.weight", "encoder.embed_positions.weights"):
+                continue  # alias of embed_tokens / recomputed sinusoid table
+            if k.startswith("encoder."):
+                k = k[len("encoder."):]
+            if k.startswith("decoder.") or k == "lm_head.weight":
+                continue
+            sd[k] = np.asarray(v, dtype=np.float32)
+        if cfg.model_type == "mt5":
+            return _import_t5_state_dict(sd, cfg)
+        return _import_m2m_state_dict(sd, cfg)
     sd = {}
     for k, v in state_dict.items():
         k = k.split(".", 1)[1] if k.split(".", 1)[0] in ("bert", "roberta") else k
@@ -314,10 +614,56 @@ def import_hf_state_dict(state_dict: Dict, cfg: HFTextConfig) -> Params:
     return params
 
 
+_T5_EXPORT = [
+    ("q_w", "layer.0.SelfAttention.q.weight", True),
+    ("k_w", "layer.0.SelfAttention.k.weight", True),
+    ("v_w", "layer.0.SelfAttention.v.weight", True),
+    ("o_w", "layer.0.SelfAttention.o.weight", True),
+    ("ln1_scale", "layer.0.layer_norm.weight", False),
+    ("wi0_w", "layer.1.DenseReluDense.wi_0.weight", True),
+    ("wi1_w", "layer.1.DenseReluDense.wi_1.weight", True),
+    ("wo_w", "layer.1.DenseReluDense.wo.weight", True),
+    ("ln2_scale", "layer.1.layer_norm.weight", False),
+]
+
+_M2M_EXPORT = [
+    ("q_w", "self_attn.q_proj.weight", True), ("q_b", "self_attn.q_proj.bias", False),
+    ("k_w", "self_attn.k_proj.weight", True), ("k_b", "self_attn.k_proj.bias", False),
+    ("v_w", "self_attn.v_proj.weight", True), ("v_b", "self_attn.v_proj.bias", False),
+    ("o_w", "self_attn.out_proj.weight", True), ("o_b", "self_attn.out_proj.bias", False),
+    ("ln1_scale", "self_attn_layer_norm.weight", False),
+    ("ln1_bias", "self_attn_layer_norm.bias", False),
+    ("fc1_w", "fc1.weight", True), ("fc1_b", "fc1.bias", False),
+    ("fc2_w", "fc2.weight", True), ("fc2_b", "fc2.bias", False),
+    ("ln2_scale", "final_layer_norm.weight", False),
+    ("ln2_bias", "final_layer_norm.bias", False),
+]
+
+
 def export_hf_state_dict(params: Params, cfg: HFTextConfig) -> Dict[str, np.ndarray]:
     """Inverse of :func:`import_hf_state_dict`: param pytree -> HF-naming
-    torch ``state_dict`` arrays (kernels transposed back to ``(out, in)``)."""
+    torch ``state_dict`` arrays (kernels transposed back to ``(out, in)``).
+    Encoder-decoder families emit the reference's checkpoint layout — the
+    bare ENCODER namespace (``block.*`` / ``layers.*``), since the
+    reference's transformer attribute IS the encoder (hf_model.py:124-126).
+    """
     b = params["blocks"]
+    if cfg.model_type in ("mt5", "m2m_100"):
+        per_layer, stem = (_T5_EXPORT, "block") if cfg.model_type == "mt5" \
+            else (_M2M_EXPORT, "layers")
+        sd = {"embed_tokens.weight": np.asarray(params["word_emb"], np.float32)}
+        if cfg.model_type == "mt5":
+            sd["block.0.layer.0.SelfAttention.relative_attention_bias.weight"] = \
+                np.asarray(params["rel_bias"], np.float32)
+            sd["final_layer_norm.weight"] = np.asarray(params["final_ln_scale"], np.float32)
+        else:
+            sd["layer_norm.weight"] = np.asarray(params["final_ln_scale"], np.float32)
+            sd["layer_norm.bias"] = np.asarray(params["final_ln_bias"], np.float32)
+        for i in range(cfg.layers):
+            for ours, theirs, transpose in per_layer:
+                arr = np.asarray(b[ours][i], np.float32)
+                sd[f"{stem}.{i}.{theirs}"] = arr.T.copy() if transpose else arr
+        return sd
     sd: Dict[str, np.ndarray] = {
         "embeddings.word_embeddings.weight": np.asarray(params["word_emb"], np.float32),
         "embeddings.position_embeddings.weight": np.asarray(params["pos_emb"], np.float32),

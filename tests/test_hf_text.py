@@ -125,8 +125,12 @@ def test_hf_text_config_resolution():
     assert cfg.pooler_type == "mean_pooler" and cfg.proj_type == "mlp"
     assert cfg.position_offset == 2
 
-    with pytest.raises(ValueError, match="no native tower"):
-        hf_text_config({"hf_model_name": "google/mt5-base", "model_type": "mt5"})
+    # encoder-decoder families resolve natively now (encoder-side towers)
+    cfg = hf_text_config({"hf_model_name": "google/mt5-base", "model_type": "mt5"})
+    assert cfg.width == 768 and cfg.d_kv == 64 and cfg.pad_id == 0
+    cfg = hf_text_config({"hf_model_name": "facebook/nllb-200-distilled-600M",
+                          "model_type": "m2m_100"})
+    assert cfg.width == 1024 and cfg.scale_embedding and cfg.pad_id == 1
 
 
 def test_proj_defaults_to_mlp_like_reference():
@@ -172,3 +176,106 @@ def test_hf_clip_checkpoint_roundtrip(tmp_path):
         np.asarray(clip_mod.encode_text(params, cfg, ids)),
         np.asarray(clip_mod.encode_text(loaded, cfg, ids)), atol=1e-6,
     )
+
+
+# ---------------------------------------------------------------------------
+# Encoder-decoder families: the reference consumes AutoModel(...).encoder
+# (hf_model.py:124-126) — parity vs the live T5/M2M100 ENCODERS
+# ---------------------------------------------------------------------------
+
+def tiny_mt5():
+    cfg = transformers.MT5Config(
+        vocab_size=V, d_model=D, d_kv=8, d_ff=M, num_layers=L, num_heads=H,
+        relative_attention_num_buckets=8, relative_attention_max_distance=20,
+        dropout_rate=0.0, feed_forward_proj="gated-gelu", pad_token_id=0,
+    )
+    torch.manual_seed(3)
+    return transformers.MT5EncoderModel(cfg).eval()
+
+
+def tiny_m2m():
+    cfg = transformers.M2M100Config(
+        vocab_size=V, d_model=D, encoder_layers=L, decoder_layers=L,
+        encoder_attention_heads=H, decoder_attention_heads=H,
+        encoder_ffn_dim=M, decoder_ffn_dim=M, max_position_embeddings=P,
+        pad_token_id=1, scale_embedding=True, dropout=0.0,
+        activation_dropout=0.0, attention_dropout=0.0,
+        activation_function="relu",
+    )
+    torch.manual_seed(4)
+    return transformers.M2M100Model(cfg).eval()
+
+
+def test_mt5_encoder_parity():
+    model = tiny_mt5()
+    ids = make_ids(0, np.random.default_rng(5))
+    cfg = HFTextConfig(
+        model_type="mt5", vocab_size=V, width=D, layers=L, heads=H,
+        intermediate=M, d_kv=8, rel_buckets=8, rel_max_distance=20,
+        max_positions=P, pad_id=0, ln_eps=1e-6, pooler_type="mean_pooler",
+    )
+    params = import_hf_state_dict(model.state_dict(), cfg)
+    ours = np.asarray(hf_text_forward(params, cfg, jnp.asarray(ids.astype(np.int32)),
+                                      embed_dim=D, dtype=jnp.float32))
+    out = hf_hidden_and_pooler(model, ids, 0).last_hidden_state.numpy()
+    mask = (ids != 0).astype(np.float32)[..., None]
+    want = (out * mask).sum(1) / mask.sum(1)
+    np.testing.assert_allclose(ours, want, atol=2e-5, rtol=1e-4)
+
+
+def test_m2m_encoder_parity():
+    model = tiny_m2m()
+    ids = make_ids(1, np.random.default_rng(6))
+    ids[:, 0] = 2  # language-code position (ClsPooler reads token 0)
+    cfg = HFTextConfig(
+        model_type="m2m_100", vocab_size=V, width=D, layers=L, heads=H,
+        intermediate=M, max_positions=P, pad_id=1, ln_eps=1e-5,
+        scale_embedding=True, pooler_type="cls_pooler",
+    )
+    params = import_hf_state_dict(model.state_dict(), cfg)
+    assert "pooler_w" not in params  # M2M100 has no tanh pooler head
+    ours = np.asarray(hf_text_forward(params, cfg, jnp.asarray(ids.astype(np.int32)),
+                                      embed_dim=D, dtype=jnp.float32))
+    mask = torch.tensor((ids != 1).astype(np.int64))
+    with torch.no_grad():
+        out = model.encoder(input_ids=torch.tensor(ids), attention_mask=mask)
+    want = out.last_hidden_state.numpy()[:, 0]  # cls_pooler
+    np.testing.assert_allclose(ours, want, atol=2e-5, rtol=1e-4)
+
+
+def test_encdec_export_roundtrip():
+    # export emits the reference checkpoint layout (bare encoder namespace);
+    # re-import must be the identity
+    from latteclip_tpu.models.hf_text import export_hf_state_dict
+
+    for make, cfg in (
+        (tiny_mt5, HFTextConfig(model_type="mt5", vocab_size=V, width=D,
+                                layers=L, heads=H, intermediate=M, d_kv=8,
+                                rel_buckets=8, rel_max_distance=20,
+                                max_positions=P, pad_id=0)),
+        (tiny_m2m, HFTextConfig(model_type="m2m_100", vocab_size=V, width=D,
+                                layers=L, heads=H, intermediate=M,
+                                max_positions=P, pad_id=1, scale_embedding=True)),
+    ):
+        params = import_hf_state_dict(make().state_dict(), cfg)
+        sd = export_hf_state_dict(params, cfg)
+        assert not any(k.startswith("encoder.") for k in sd)
+        again = import_hf_state_dict(sd, cfg)
+        jax.tree.map(np.testing.assert_array_equal, params, again)
+
+
+def test_encdec_configs_resolve_and_init():
+    from latteclip_tpu.core.config import get_model_config
+
+    for name in ("mt5-base-ViT-B-32", "nllb-clip-base", "nllb-clip-base-siglip"):
+        cfg = get_model_config(name)
+        assert cfg.text.model_type in ("mt5", "m2m_100")
+    # init path builds the right param tree for a tiny t5-style config
+    tiny = HFTextConfig(model_type="mt5", vocab_size=V, width=D, layers=L,
+                        heads=H, intermediate=M, d_kv=8, rel_buckets=8,
+                        pad_id=0, proj_type="linear")
+    p = init_hf_text_params(jax.random.PRNGKey(0), tiny, 16)
+    assert p["rel_bias"].shape == (8, H) and p["proj_w"].shape == (D, 16)
+    out = hf_text_forward(p, tiny, jnp.ones((2, 9), jnp.int32),
+                          embed_dim=16, dtype=jnp.float32)
+    assert out.shape == (2, 16) and np.isfinite(np.asarray(out)).all()
