@@ -41,16 +41,20 @@ MODEL_AXIS = "model"
 def tpu_compiler_options() -> Optional[Dict[str, str]]:
     """Per-computation TPU compiler options for first-party jit sites.
 
-    Raises the scoped-VMEM ceiling so the flash-attention kernel's larger
-    batch groups compile (measured +7% step throughput at 32 MiB — see
-    kernels/attention.py::_legacy_budget). Returns None off-TPU and when
-    LATTECLIP_SCOPED_VMEM_KIB=0 (TPU-only flags crash other backends).
-    XLA_FLAGS cannot carry this flag here: the axon client's XLA rejects
-    TPU-only flags at parse time; per-computation options ship server-side.
+    Default: none. The flash-attention kernel's larger batch groups get
+    their VMEM headroom from a PER-KERNEL Mosaic limit
+    (``kernels/attention.py::_compiler_params``, vmem_limit_bytes=64 MiB),
+    which measured equal-or-better than a global scoped-VMEM carve-out
+    (568.5 img/s vs 567.4 at 32 MiB, vs 559.8 at 64 MiB — the global carve
+    taxes every non-attention fusion in the program; BASELINE.md round-3
+    rows). LATTECLIP_SCOPED_VMEM_KIB=<kib> re-enables the global carve for
+    experiments. XLA_FLAGS cannot carry this flag here: the axon client's
+    XLA rejects TPU-only flags at parse time; per-computation options ship
+    server-side.
     """
     if jax.default_backend() != "tpu":
         return None
-    kib = int(os.environ.get("LATTECLIP_SCOPED_VMEM_KIB", "32768"))
+    kib = int(os.environ.get("LATTECLIP_SCOPED_VMEM_KIB", "0"))
     if not kib:
         return None
     return {"xla_tpu_scoped_vmem_limit_kib": str(kib)}
@@ -59,11 +63,11 @@ def tpu_compiler_options() -> Optional[Dict[str, str]]:
 def tpu_jit(fun=None, **kwargs):
     """``jax.jit`` + :func:`tpu_compiler_options` (first-party jit sites).
 
-    Any jit that can reach the flash-attention kernel must carry the raised
-    scoped-VMEM option or the kernel's default batch groups fail to compile
-    on TPU (kernels/attention.py::_legacy_budget). Only for RUNTIME jit
-    sites — at module level it would init the backend (and claim the chip)
-    at import time.
+    With the per-kernel VMEM limit as the default this usually adds
+    nothing, but it keeps one place where LATTECLIP_SCOPED_VMEM_KIB
+    experiments reach every first-party jit. Only for RUNTIME jit sites —
+    at module level it would init the backend (and claim the chip) at
+    import time.
     """
     if fun is None:
         return lambda f: tpu_jit(f, **kwargs)

@@ -95,14 +95,14 @@ _legacy_budget_cache = None
 def _legacy_budget() -> int:
     """VMEM budget steering the batch-group ladder (lazy: backend-dependent).
 
-    On TPU the default is 24 MB, paired with the raised
-    ``xla_tpu_scoped_vmem_limit_kib=32768`` that every first-party jit site
-    passes via ``core.mesh.tpu_compiler_options()`` — measured round 3:
-    fwd G=8 at 24 MB = 567.4 img/s vs 528.6 at the 12 MB default
-    (tools/r3_vmem2.py; the stock ~16 MB scoped limit rejects G=8 by 2.8 MB).
-    Off-TPU (interpret-mode tests) keeps 12 MB — group size only affects
-    padding there. Override with LATTECLIP_ATTN_BUDGET_MB; if you raise it
-    past ~0.75x the scoped limit, raise LATTECLIP_SCOPED_VMEM_KIB too.
+    On TPU the default is 24 MB (fwd G=8 / bwd G=4), compiled under the
+    PER-KERNEL Mosaic VMEM limit from :func:`_compiler_params` — measured
+    round 3: 568.5 img/s vs 528.6 at the 12 MB default and 567.4 under a
+    global 32 MiB scoped-VMEM carve (tools/r3_vmem2.py; the stock ~16 MB
+    scoped limit rejects G=8 by 2.8 MB, and bwd G=8 at 44 MB is a wash,
+    567.3). Off-TPU (interpret-mode tests) keeps 12 MB — group size only
+    affects padding there. Override with LATTECLIP_ATTN_BUDGET_MB; if you
+    raise it past ~48 MB, raise LATTECLIP_ATTN_VMEM_LIMIT_MB too.
     """
     global _legacy_budget_cache
     if _legacy_budget_cache is None:
@@ -122,6 +122,21 @@ def _fwd_bytes_legacy(g: int, l: int, hd: int) -> int:
 def _bwd_bytes_legacy(g: int, l: int, hd: int) -> int:
     return g * (2 * (3 * l * hd * 2 + 2 * l * hd * 2 + 3 * l * hd * 2)
                 + 3 * l * l * 4 + 2 * l * l * 2)
+
+
+def _compiler_params():
+    """Per-kernel Mosaic VMEM limit (vs the global scoped-VMEM carve-out).
+
+    ``vmem_limit_bytes`` raises the VMEM ceiling for THIS pallas call only,
+    so the attention kernel can run big batch groups without reserving a
+    larger scoped-VMEM slice across every XLA computation in the program
+    (the global 64 MiB carve measurably degrades non-attention fusions —
+    BASELINE.md round-3 rows). Env knob LATTECLIP_ATTN_VMEM_LIMIT_MB;
+    0 disables (falls back to the backend's scoped limit)."""
+    mb = int(_os.environ.get("LATTECLIP_ATTN_VMEM_LIMIT_MB", "64"))
+    if not mb:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=mb * 1024 * 1024)
 
 
 def _group_size_legacy(l: int, hd: int, cost_fn, which: str = "fwd") -> int:
@@ -329,6 +344,7 @@ def _flash_fwd_impl(qkv, causal: bool, num_heads: int):
                 jax.ShapeDtypeStruct((num_heads // HP, HP, Bp, L), jnp.float32),
             ],
             cost_estimate=cost,
+            compiler_params=_compiler_params(),
             interpret=_interpret(),
         )(qkv, qkv, qkv)
         if Bp != B:
@@ -352,6 +368,7 @@ def _flash_fwd_impl(qkv, causal: bool, num_heads: int):
             jax.ShapeDtypeStruct((Bp, num_heads, L), jnp.float32),
         ],
         cost_estimate=cost,
+        compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(qkv)
     if Bp != B:
@@ -418,6 +435,7 @@ def _make_fa(num_heads: int):
                                        memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((3, Bp, L, HD), qkv.dtype),
                 cost_estimate=cost,
+                compiler_params=_compiler_params(),
                 interpret=_interpret(),
             )(qkv, qkv, qkv, o, do, lse)
             # [3, B, L, HD] -> [B, L, 3HD]: XLA folds this transpose into the
@@ -444,6 +462,7 @@ def _make_fa(num_heads: int):
             out_specs=in_tile,
             out_shape=jax.ShapeDtypeStruct((Bp, L, HD3), qkv.dtype),
             cost_estimate=cost,
+            compiler_params=_compiler_params(),
             interpret=_interpret(),
         )(qkv, o, do, lse)
         if Bp != B:

@@ -46,8 +46,8 @@ def main() -> int:
     print(f"[{time.strftime('%H:%M:%S')}] lowered ({time.perf_counter()-t0:.0f}s); "
           "compiling with options...", flush=True)
     t0 = time.perf_counter()
-    compiled = lowered.compile(
-        compiler_options={"xla_tpu_scoped_vmem_limit_kib": str(vmem_kib)})
+    opts = {"xla_tpu_scoped_vmem_limit_kib": str(vmem_kib)} if vmem_kib else None
+    compiled = lowered.compile(compiler_options=opts)
     print(f"[{time.strftime('%H:%M:%S')}] compiled ({time.perf_counter()-t0:.0f}s)",
           flush=True)
     for i in range(3):
