@@ -462,17 +462,35 @@ def coca_state_dict_to_params(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
         "ln_post_scale": f32("visual.ln_post.weight"),
         "ln_post_bias": f32("visual.ln_post.bias"),
         "proj": f32("visual.proj"),
-        "attn_pool": _attn_pool_from_sd(sd, "visual.attn_pool"),
     }
-    text = {
-        "token_embedding": f32("text.token_embedding.weight"),
-        "cls_emb": f32("text.cls_emb"),
-        "pos_embed": f32("text.positional_embedding"),
-        "blocks": _stack_blocks(sd, "text.transformer.", cfg.text.layers),
-        "ln_final_scale": f32("text.ln_final.weight"),
-        "ln_final_bias": f32("text.ln_final.bias"),
-        "text_projection": f32("text.text_projection"),
-    }
+    if "visual.attn_pool.query" in sd:  # coca_roberta's ViT pools without one
+        visual["attn_pool"] = _attn_pool_from_sd(sd, "visual.attn_pool")
+    from latteclip_tpu.models.hf_text import HFTextConfig
+
+    if isinstance(cfg.text, HFTextConfig):
+        # coca_roberta-*: the text tower is an HF trunk under text.transformer.*
+        # with the projection at text.proj[.N].weight (reference
+        # coca_model.py:97-103 -> hf_model.py layout, same as CustomTextCLIP)
+        from latteclip_tpu.models.hf_text import import_hf_state_dict
+
+        hf_sd = {k[len("text.transformer."):]: v for k, v in sd.items()
+                 if k.startswith("text.transformer.")}
+        text = import_hf_state_dict(hf_sd, cfg.text)
+        if "text.proj.weight" in sd:
+            text["proj_w"] = f32("text.proj.weight").T
+        elif "text.proj.0.weight" in sd:
+            text["proj1_w"] = f32("text.proj.0.weight").T
+            text["proj2_w"] = f32("text.proj.2.weight").T
+    else:
+        text = {
+            "token_embedding": f32("text.token_embedding.weight"),
+            "cls_emb": f32("text.cls_emb"),
+            "pos_embed": f32("text.positional_embedding"),
+            "blocks": _stack_blocks(sd, "text.transformer.", cfg.text.layers),
+            "ln_final_scale": f32("text.ln_final.weight"),
+            "ln_final_bias": f32("text.ln_final.bias"),
+            "text_projection": f32("text.text_projection"),
+        }
     decoder = {
         "blocks": _stack_named_blocks(sd, "text_decoder.resblocks", cfg.multimodal.layers),
         "cross": _stack_named_blocks(

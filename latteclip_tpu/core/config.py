@@ -292,9 +292,6 @@ GATED_CONFIGS: Dict[str, str] = {
     "swin_base_patch4_window7_224": _TIMM,
     "vit_medium_patch16_gap_256": _TIMM,
     "vit_relpos_medium_patch16_cls_224": _TIMM,
-    "coca_roberta-ViT-B-32": "CoCa with an HF text trunk — the CoCa text "
-    "tower here is the native cls-mask transformer (models/coca.py); "
-    "combining it with models/hf_text.py is unwired",
 }
 
 

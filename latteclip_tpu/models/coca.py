@@ -4,7 +4,10 @@
 Three parts, all pure functions over a param pytree:
 
 * **text tower with class token** (``embed_cls=True``, reference
-  transformer.py:598-708): the class embedding is appended AFTER the text,
+  transformer.py:598-708) — or, for ``coca_roberta-*`` configs, an HF
+  roberta trunk with ``output_tokens`` (``models/hf_text.py``, reference
+  coca_model.py:97-103; dispatch in :func:`encode_text_tokens`) —
+  the class embedding is appended AFTER the text,
   the attention mask combines causality with per-sample pad masking (padded
   keys are invisible — reference ``build_cls_mask``, transformer.py:663-670),
   pooling takes the last (cls) position and applies ``ln_final`` after
@@ -119,12 +122,21 @@ def _block_params(k, L_, D, mlp_width, attn_std, proj_std, fc_std, cross=False):
 
 
 def init_coca_params(rng: jax.Array, cfg: CoCaConfig) -> Params:
+    from latteclip_tpu.models.hf_text import HFTextConfig, init_hf_text_params
+
     kv, kt, kd = jax.random.split(rng, 3)
-    text_params = text_mod.init_text_params(kt, cfg.text, cfg.embed_dim)
-    D = cfg.text.width
-    # embed_cls: one extra position (reference transformer.py:599-604)
-    text_params["cls_emb"] = jax.random.normal(kt, (D,)) * 0.01
-    text_params["pos_embed"] = jax.random.normal(kt, (cfg.text.context_length + 1, D)) * 0.01
+    if isinstance(cfg.text, HFTextConfig):
+        # HF text trunk inside CoCa (coca_roberta-*, reference
+        # coca_model.py:97-103); no cls token — the HF tower pools itself
+        text_params = init_hf_text_params(kt, cfg.text, cfg.embed_dim)
+    else:
+        text_params = text_mod.init_text_params(kt, cfg.text, cfg.embed_dim)
+        D = cfg.text.width
+        # embed_cls: one extra position (reference transformer.py:599-604)
+        text_params["cls_emb"] = jax.random.normal(kt, (D,)) * 0.01
+        text_params["pos_embed"] = (
+            jax.random.normal(kt, (cfg.text.context_length + 1, D)) * 0.01
+        )
 
     md = cfg.multimodal
     Dm = md.width
@@ -217,6 +229,34 @@ def coca_decode(
     return L.dense(x, params["text_projection"], None, dtype).astype(jnp.float32)
 
 
+def encode_text_tokens(
+    params: Params, cfg: CoCaConfig, tokens: jnp.ndarray, *, dtype,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Text tower dispatch: native cls-mask transformer or an HF trunk with
+    ``output_tokens`` (reference ``self.text(text)`` returning
+    (latent, token_embs) either way, coca_model.py:145)."""
+    from latteclip_tpu.models.hf_text import HFTextConfig, hf_text_forward_tokens
+
+    if isinstance(cfg.text, HFTextConfig):
+        return hf_text_forward_tokens(params["text"], cfg.text, tokens, dtype=dtype)
+    return coca_text_forward(
+        params["text"], cfg.text, tokens,
+        pad_id=cfg.pad_id, dtype=dtype, quick_gelu=cfg.quick_gelu,
+    )
+
+
+def _generation_pad_id(cfg: CoCaConfig) -> int:
+    """Fill value for not-yet-generated positions in the fixed-shape decode.
+
+    The native tower is causal, so any fill works; an HF trunk is
+    BIDIRECTIONAL — future positions must be its own pad id so the
+    attention mask hides them (the reference instead grows the sequence
+    dynamically, coca_model.py:268-283, which torch can afford)."""
+    from latteclip_tpu.models.hf_text import HFTextConfig
+
+    return cfg.text.pad_id if isinstance(cfg.text, HFTextConfig) else cfg.pad_id
+
+
 def coca_forward(
     params: Params, cfg: CoCaConfig, images, tokens,
 ) -> Dict[str, jnp.ndarray]:
@@ -226,10 +266,7 @@ def coca_forward(
         params["visual"], cfg.vision, images,
         dtype=dtype, quick_gelu=cfg.quick_gelu, output_tokens=True,
     )
-    text_latent, token_embs = coca_text_forward(
-        params["text"], cfg.text, tokens,
-        pad_id=cfg.pad_id, dtype=dtype, quick_gelu=cfg.quick_gelu,
-    )
+    text_latent, token_embs = encode_text_tokens(params, cfg, tokens, dtype=dtype)
     logits = coca_decode(
         params["text_decoder"], cfg.multimodal, token_embs, image_embs,
         dtype=dtype, quick_gelu=cfg.quick_gelu,
@@ -294,14 +331,12 @@ def generate(
 
     @tpu_jit
     def step_logits(p, tokens):
-        _latent, token_embs = coca_text_forward(
-            p["text"], cfg.text, tokens, pad_id=cfg.pad_id,
-            dtype=dtype, quick_gelu=cfg.quick_gelu,
-        )
+        _latent, token_embs = encode_text_tokens({"text": p["text"]}, cfg, tokens,
+                                                 dtype=dtype)
         return coca_decode(p["text_decoder"], cfg.multimodal, token_embs, image_embs,
                            dtype=dtype, quick_gelu=cfg.quick_gelu)
 
-    tokens = np.full((B, ctx), cfg.pad_id, dtype=np.int32)
+    tokens = np.full((B, ctx), _generation_pad_id(cfg), dtype=np.int32)
     tokens[:, 0] = sot_token_id
     done = np.zeros(B, dtype=bool)
     for pos in range(1, min(seq_len, ctx)):
@@ -358,15 +393,13 @@ def generate_beamsearch(
 
     @tpu_jit
     def step_logits(p, tokens):
-        _lat, token_embs = coca_text_forward(
-            p["text"], cfg.text, tokens, pad_id=cfg.pad_id,
-            dtype=dtype, quick_gelu=cfg.quick_gelu,
-        )
+        _lat, token_embs = encode_text_tokens({"text": p["text"]}, cfg, tokens,
+                                              dtype=dtype)
         return coca_decode(p["text_decoder"], cfg.multimodal, token_embs, image_embs,
                            dtype=dtype, quick_gelu=cfg.quick_gelu)
 
     BB = B * num_beams
-    tokens = np.full((BB, ctx), cfg.pad_id, dtype=np.int32)
+    tokens = np.full((BB, ctx), _generation_pad_id(cfg), dtype=np.int32)
     tokens[:, 0] = sot_token_id
     beam_scores = np.full((B, num_beams), -1e9, dtype=np.float64)
     beam_scores[:, ::sub] = 0.0

@@ -34,7 +34,7 @@ flash kernel's causal-only interface inapplicable.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -433,6 +433,51 @@ def hf_text_forward(
         return _t5_forward(params, cfg, tokens, dtype=dtype, remat=remat)
     if cfg.model_type == "m2m_100":
         return _m2m_forward(params, cfg, tokens, dtype=dtype, remat=remat)
+    x, mask = _bert_hidden(params, cfg, tokens, dtype=dtype, remat=remat)
+    return _pool_project(x, mask, params, cfg, dtype)
+
+
+def hf_text_forward_tokens(
+    params: Params,
+    cfg: HFTextConfig,
+    tokens: jnp.ndarray,
+    *,
+    dtype: jnp.dtype = jnp.bfloat16,
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``output_tokens`` forward (reference hf_model.py:154-169): token ids
+    [B, T] -> (pooled+projected latent [B, E] f32, per-token hidden states).
+
+    The hidden states are the encoder's raw (un-projected) last layer; for
+    the cls poolers the cls position is dropped from the token stream (the
+    reference slices ``arange(T) != cls_token_position``), for mean/max
+    pooling the full sequence is returned. Feeds CoCa's multimodal decoder
+    (``coca_roberta-*`` configs, reference coca_model.py:97-103,171-175).
+    """
+    if cfg.model_type in ("mt5", "m2m_100"):
+        raise NotImplementedError(
+            "output_tokens is only wired for the BERT-family towers (no "
+            "reference config pairs an encoder-decoder text tower with CoCa)"
+        )
+    x, mask = _bert_hidden(params, cfg, tokens, dtype=dtype, remat=remat)
+    pooled = _pool_project(x, mask, params, cfg, dtype)
+    if cfg.pooler_type in ("cls_pooler", "cls_last_hidden_state_pooler"):
+        token_embs = x[:, 1:]  # drop cls_token_position == 0
+    else:
+        token_embs = x
+    return pooled, token_embs.astype(dtype)
+
+
+def _bert_hidden(
+    params: Params,
+    cfg: HFTextConfig,
+    tokens: jnp.ndarray,
+    *,
+    dtype: jnp.dtype,
+    remat: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """BERT-family encoder body: token ids [B, T] -> (last hidden state
+    [B, T, D] f32, attention mask [B, T] int32)."""
     mask = (tokens != cfg.pad_id).astype(jnp.int32)          # [B, T]
     B, T = tokens.shape
     # static bound: RoBERTa positions reach pad_id + T; a silent JAX gather
@@ -469,7 +514,7 @@ def hf_text_forward(
     if remat:  # per-block gradient checkpointing, like the CLIP towers
         body = jax.checkpoint(body, prevent_cse=False)
     x, _ = jax.lax.scan(body, x, params["blocks"])
-    return _pool_project(x.astype(jnp.float32), mask, params, cfg, dtype)
+    return x.astype(jnp.float32), mask
 
 
 # ---------------------------------------------------------------------------
