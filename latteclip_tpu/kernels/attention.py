@@ -167,7 +167,46 @@ def _causal_bias(L: int) -> jnp.ndarray:
     return jnp.where(cols > rows, NEG_INF, 0.0).astype(jnp.float32)
 
 
-def _fwd_kernel_hs(q_ref, k_ref, v_ref, o_ref, lse_ref, *, qscale, HP, D, causal):
+def _attn_bias(L: int, causal: bool, block_len: int):
+    """Additive score bias: causal and/or block-diagonal (sequence packing).
+
+    ``block_len`` > 0 marks a row that PACKS ``L // block_len`` independent
+    sequences end to end; cross-sequence entries are masked so softmax over
+    the packed row is exactly the per-sequence softmax (masked entries hit
+    exp2(-1e9 - m) == 0 and the row max is always achieved inside the own
+    block). Returns None when no mask is needed."""
+    if not causal and not block_len:
+        return None
+    rows = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    masked = (cols > rows) if causal else (cols != cols)
+    if block_len and block_len < L:
+        masked = masked | ((rows // block_len) != (cols // block_len))
+    return jnp.where(masked, NEG_INF, 0.0).astype(jnp.float32)
+
+
+def _pack_factor(B: int, L: int) -> int:
+    """Sequences packed per kernel row for SHORT sequence lengths.
+
+    At L=77 the whole-row kernel measures 2.6 TF/s (vs 21-26 at L=197):
+    each per-head dot is a 77x64x77 matmul — pure MXU pipeline overhead
+    (tools/r3_text_audit.py). Packing n sequences along L multiplies the
+    true softmax work by n but turns every matmul into an (nL, 64, nL) op;
+    the n is chosen so nL stays within one-to-two 128-lane tiles. 0/1 = no
+    packing (vision L=197 never packs). LATTECLIP_ATTN_PACK_N forces a
+    factor; LATTECLIP_ATTN_PACK=0 disables."""
+    if _os.environ.get("LATTECLIP_ATTN_PACK", "1") == "0":
+        return 1
+    env = _os.environ.get("LATTECLIP_ATTN_PACK_N")
+    if env is not None:
+        n = int(env)
+        return n if n > 1 and n * L <= 512 and B > 1 else 1
+    if L > 128 or B < 2:
+        return 1
+    return max(1, 256 // L)
+
+
+def _fwd_kernel_hs(q_ref, k_ref, v_ref, o_ref, lse_ref, *, qscale, HP, D, causal, block_len=0):
     """Head-split forward: the grid also ranges over head groups, so each
     program touches only ``HP`` heads' worth of lanes. q/k/v refs are three
     lane-block views of the SAME packed [B, L, 3HD] array (different
@@ -177,7 +216,8 @@ def _fwd_kernel_hs(q_ref, k_ref, v_ref, o_ref, lse_ref, *, qscale, HP, D, causal
     keeps the last two dims Mosaic-tileable); callers ignore lse and the
     bwd kernel reads the same layout."""
     L = q_ref.shape[1]
-    bias = _causal_bias(L)[None] if causal else None
+    bias = _attn_bias(L, causal, block_len)
+    bias = bias[None] if bias is not None else None
     for hp in range(HP):
         sl = slice(hp * D, (hp + 1) * D)
         q = q_ref[:, :, sl].astype(jnp.float32)             # [G, L, D]
@@ -196,9 +236,10 @@ def _fwd_kernel_hs(q_ref, k_ref, v_ref, o_ref, lse_ref, *, qscale, HP, D, causal
 
 
 def _bwd_kernel_hs(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dqkv_ref,
-                   *, qscale, scale, HP, D, causal):
+                   *, qscale, scale, HP, D, causal, block_len=0):
     L = q_ref.shape[1]
-    bias = _causal_bias(L)[None] if causal else None
+    bias = _attn_bias(L, causal, block_len)
+    bias = bias[None] if bias is not None else None
     for hp in range(HP):
         sl = slice(hp * D, (hp + 1) * D)
         q = q_ref[:, :, sl].astype(jnp.bfloat16)
@@ -248,10 +289,11 @@ def _head_split(num_heads: int, D: int) -> int:
     return 0
 
 
-def _fwd_kernel(qkv_ref, o_ref, lse_ref, *, qscale, H, D, causal):
+def _fwd_kernel(qkv_ref, o_ref, lse_ref, *, qscale, H, D, causal, block_len=0):
     L = qkv_ref.shape[1]
     HD = H * D
-    bias = _causal_bias(L)[None] if causal else None
+    bias = _attn_bias(L, causal, block_len)
+    bias = bias[None] if bias is not None else None
     for h in range(H):
         sl = slice(h * D, (h + 1) * D)
         q = qkv_ref[:, :, sl].astype(jnp.float32)           # [G, L, D]
@@ -269,10 +311,11 @@ def _fwd_kernel(qkv_ref, o_ref, lse_ref, *, qscale, H, D, causal):
         lse_ref[:, h, :] = m2[..., 0] + jnp.log2(l[..., 0])  # base-2 lse
 
 
-def _bwd_kernel(qkv_ref, o_ref, do_ref, lse_ref, dqkv_ref, *, qscale, scale, H, D, causal):
+def _bwd_kernel(qkv_ref, o_ref, do_ref, lse_ref, dqkv_ref, *, qscale, scale, H, D, causal, block_len=0):
     L = qkv_ref.shape[1]
     HD = H * D
-    bias = _causal_bias(L)[None] if causal else None
+    bias = _attn_bias(L, causal, block_len)
+    bias = bias[None] if bias is not None else None
     for h in range(H):
         sl = slice(h * D, (h + 1) * D)
         q = qkv_ref[:, :, sl].astype(jnp.bfloat16)
@@ -307,7 +350,7 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _flash_fwd_impl(qkv, causal: bool, num_heads: int):
+def _flash_fwd_impl(qkv, causal: bool, num_heads: int, block_len: int = 0):
     """qkv: [B, L, 3*H*D] packed -> (out [B, L, H*D], lse2 [B, H, L])."""
     dtype = qkv.dtype
     B, L, HD3 = qkv.shape
@@ -332,7 +375,7 @@ def _flash_fwd_impl(qkv, causal: bool, num_heads: int):
             (G, L, HPD), lambda i, j, s=s: (i, 0, s * NB + j), memory_space=pltpu.VMEM
         )
         o, lse = pl.pallas_call(
-            functools.partial(_fwd_kernel_hs, qscale=qscale, HP=HP, D=D, causal=causal),
+            functools.partial(_fwd_kernel_hs, qscale=qscale, HP=HP, D=D, causal=causal, block_len=block_len),
             grid=(Bp // G, num_heads // HP),
             in_specs=[stream(0), stream(1), stream(2)],
             out_specs=[
@@ -359,7 +402,7 @@ def _flash_fwd_impl(qkv, causal: bool, num_heads: int):
     out_tile = pl.BlockSpec((G, L, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     lse_spec = pl.BlockSpec((G, num_heads, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     o, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, qscale=qscale, H=num_heads, D=D, causal=causal),
+        functools.partial(_fwd_kernel, qscale=qscale, H=num_heads, D=D, causal=causal, block_len=block_len),
         grid=(Bp // G,),
         in_specs=[in_tile],
         out_specs=[out_tile, lse_spec],
@@ -381,19 +424,19 @@ def _make_fa(num_heads: int):
     # a policy saving {flash_out, flash_lse}, the residuals (qkv, o, lse)
     # are then all either recomputed upstream or saved, so partial
     # evaluation eliminates the forward kernel from the backward recompute.
-    @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-    def fa(qkv, causal=False):
-        return _flash_fwd_impl(qkv, causal, num_heads)
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+    def fa(qkv, causal=False, block_len=0):
+        return _flash_fwd_impl(qkv, causal, num_heads, block_len)
 
-    def fwd(qkv, causal):
+    def fwd(qkv, causal, block_len):
         from jax.ad_checkpoint import checkpoint_name
 
-        o, lse = _flash_fwd_impl(qkv, causal, num_heads)
+        o, lse = _flash_fwd_impl(qkv, causal, num_heads, block_len)
         o = checkpoint_name(o, "flash_out")
         lse = checkpoint_name(lse, "flash_lse")
         return (o, lse), (qkv, o, lse)
 
-    def bwd(causal, res, cots):
+    def bwd(causal, block_len, res, cots):
         g, _g_lse = cots  # lse cotangent is unused (lse feeds no real output)
         qkv, o, lse = res
         B, L, HD3 = qkv.shape
@@ -428,7 +471,7 @@ def _make_fa(num_heads: int):
                                     memory_space=pltpu.VMEM)
             dqkv3 = pl.pallas_call(
                 functools.partial(_bwd_kernel_hs, qscale=qscale, scale=scale,
-                                  HP=HP, D=D, causal=causal),
+                                  HP=HP, D=D, causal=causal, block_len=block_len),
                 grid=(Bp // G, num_heads // HP),
                 in_specs=[stream(0), stream(1), stream(2), hd_tile, hd_tile, lse_spec],
                 out_specs=pl.BlockSpec((3, G, L, HPD), lambda i, j: (0, i, 0, j),
@@ -456,7 +499,8 @@ def _make_fa(num_heads: int):
         lse_spec = pl.BlockSpec((G, num_heads, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         dqkv = pl.pallas_call(
             functools.partial(_bwd_kernel, qscale=qscale, scale=scale,
-                              H=num_heads, D=D, causal=causal),
+                              H=num_heads, D=D, causal=causal,
+                              block_len=block_len),
             grid=(Bp // G,),
             in_specs=[in_tile, hd_tile, hd_tile, lse_spec],
             out_specs=in_tile,
@@ -489,9 +533,25 @@ def flash_attention_qkv(
     The fwd rule tags out/lse with checkpoint names so the remat policy in
     ``layers.transformer_stack`` can pin them across the boundary (see
     _make_fa for why that removes the kernel from the backward recompute).
+
+    Short sequences (L <= 128, e.g. the L=77 text towers) are transparently
+    PACKED: n consecutive batch rows are viewed as one [n*L] row (a free
+    reshape of the contiguous [B, L, C] array) and a block-diagonal bias
+    keeps the softmax exactly per-sequence — see :func:`_pack_factor` for
+    the measurement that motivates this. The packing sits OUTSIDE the
+    custom-vjp, so the backward pass flows through the same reshape.
     """
     if num_heads not in _FA_CACHE:
         _FA_CACHE[num_heads] = _make_fa(num_heads)
+    B, L, C = qkv.shape
+    n = _pack_factor(B, L)
+    if n > 1:
+        qkv = _pad_rows(qkv, n)
+        Bp = qkv.shape[0]
+        packed = qkv.reshape(Bp // n, n * L, C)
+        out, _lse = _FA_CACHE[num_heads](packed, causal, L)
+        out = out.reshape(Bp, L, C // 3)
+        return out[:B] if Bp != B else out
     out, _lse = _FA_CACHE[num_heads](qkv, causal)
     return out
 

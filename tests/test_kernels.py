@@ -94,3 +94,33 @@ def test_fused_ln_linear_matches_unfused(monkeypatch):
     for a, b in zip(g_f, g_r):
         np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b, np.float32), atol=2e-1, rtol=1e-1)
     F._enabled.cache_clear()
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_sequence_packing_matches_unpacked(causal, monkeypatch):
+    """Short-L packing (block-diagonal bias over a free reshape) must be
+    numerically equivalent to the unpacked kernel — values and grads —
+    including an odd batch that forces row padding (47 % 3 != 0)."""
+    from latteclip_tpu.kernels import attention as A
+
+    q, k, v = _qkv(B=47, H=2, L=50)
+    qkv = jnp.concatenate([q.reshape(47, 50, -1), k.reshape(47, 50, -1),
+                           v.reshape(47, 50, -1)], axis=-1)
+
+    def run():
+        f = lambda x: jnp.sum(  # noqa: E731
+            A.flash_attention_qkv(x, 2, causal).astype(jnp.float32) ** 2)
+        return A.flash_attention_qkv(qkv, 2, causal), jax.grad(f)(qkv)
+
+    monkeypatch.setenv("LATTECLIP_ATTN_PACK", "0")
+    out_plain, g_plain = run()
+    monkeypatch.setenv("LATTECLIP_ATTN_PACK", "1")
+    assert A._pack_factor(47, 50) > 1
+    out_packed, g_packed = run()
+
+    np.testing.assert_allclose(np.asarray(out_packed, np.float32),
+                               np.asarray(out_plain, np.float32),
+                               atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(g_packed, np.float32),
+                               np.asarray(g_plain, np.float32),
+                               atol=2e-2, rtol=2e-2)
