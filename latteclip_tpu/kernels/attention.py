@@ -188,14 +188,20 @@ def _attn_bias(L: int, causal: bool, block_len: int):
 def _pack_factor(B: int, L: int) -> int:
     """Sequences packed per kernel row for SHORT sequence lengths.
 
-    At L=77 the whole-row kernel measures 2.6 TF/s (vs 21-26 at L=197):
-    each per-head dot is a 77x64x77 matmul — pure MXU pipeline overhead
-    (tools/r3_text_audit.py). Packing n sequences along L multiplies the
-    true softmax work by n but turns every matmul into an (nL, 64, nL) op;
-    the n is chosen so nL stays within one-to-two 128-lane tiles. 0/1 = no
-    packing (vision L=197 never packs). LATTECLIP_ATTN_PACK_N forces a
-    factor; LATTECLIP_ATTN_PACK=0 disables."""
-    if _os.environ.get("LATTECLIP_ATTN_PACK", "1") == "0":
+    MEASURED LOSER — default OFF (LATTECLIP_ATTN_PACK=1 re-enables).
+    The hypothesis: at L=77 the whole-row kernel runs at 2.6 TF/s (vs 21-26
+    at L=197) because each per-head dot is a 77x64x77 matmul — MXU pipeline
+    overhead — so packing n=3 sequences into one [231] row should help.
+    Measured on the full ViT-B/16 bs512 step (2026-08-17, same session):
+    packed 479.9 img/s vs unpacked 537.8 — an 11% REGRESSION. The kernel is
+    VPU-bound on padded softmax score entries, and block-diagonal packing
+    grows them quadratically per sequence: unpacked 77x128(lane-pad) = 9.9k
+    entries/seq, packed (231x256)/3 = 19.7k/seq — 2x the exp2/max/sum work
+    plus the [nL,nL] bias add. Bigger MXU ops cannot win back 2x VPU on a
+    VPU-bound kernel. Machinery kept (tests pin packed==unpacked values and
+    grads) for kernels that become MXU-bound. LATTECLIP_ATTN_PACK_N forces
+    a factor; vision L=197 never packs."""
+    if _os.environ.get("LATTECLIP_ATTN_PACK", "0") == "0":
         return 1
     env = _os.environ.get("LATTECLIP_ATTN_PACK_N")
     if env is not None:
