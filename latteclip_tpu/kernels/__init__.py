@@ -65,8 +65,16 @@ def xla_attention(
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
+    # Named so a remat policy can PIN the probs (LATTECLIP_REMAT_SAVE=
+    # ...,attn_probs): with probs saved, the backward needs no QK^T/softmax
+    # recompute — at text shapes (L=77) the bf16 probs are only ~100 MB/layer,
+    # which is what makes the XLA short-seq route viable under remat (the
+    # round-2 measurement that lost 45 ms recomputed this forward).
+    from jax.ad_checkpoint import checkpoint_name
+
+    probs = checkpoint_name(probs.astype(dtype), "attn_probs")
     out = jnp.einsum(
-        "bhqk,bkhd->bqhd", probs.astype(dtype), v.astype(dtype),
+        "bhqk,bkhd->bqhd", probs, v.astype(dtype),
         preferred_element_type=jnp.float32,
     )
     return out.astype(dtype)

@@ -144,9 +144,32 @@ def _group_size_legacy(l: int, hd: int, cost_fn, which: str = "fwd") -> int:
     # (experiment knob: bwd G=8 needs ~44 MB while fwd G=16 regresses, so a
     # shared budget cannot express fwd G=8 + bwd G=8)
     env = _os.environ.get(f"LATTECLIP_ATTN_BUDGET_MB_{which.upper()}")
-    budget = int(env) * 1024 * 1024 if env is not None else _legacy_budget()
-    for g in (16, 8, 4, 2):
-        if cost_fn(g, l, hd) <= budget:
+    if env is not None:
+        budget = int(env) * 1024 * 1024
+    else:
+        budget = _legacy_budget()
+        # SHORT sequences (the L<=128 text towers) are per-program-overhead-
+        # bound: at G=16 one fwd program is ~194 MFLOP of 77x64x77 dots
+        # (~1 us of MXU) yet measures ~75 us (tools/r3_text_audit.py:
+        # 2.6 TF/s vs 21-26 at L=197). Larger groups amortize that overhead,
+        # so short L gets a bigger budget (48 MB -> CLIP text HD=512:
+        # fwd G=64 / bwd G=32; wider towers land on 32/16 — still under the
+        # 64 MiB per-kernel Mosaic limit from _compiler_params; the byte
+        # formulas overestimate). Long-L shapes keep the measured-good 24 MB
+        # (fwd G=16 at L=197 regressed, 559.8 vs 567.4). Opt-in via
+        # LATTECLIP_ATTN_SHORTL=1 until measured on TPU (tools/r3_shortl.py)
+        # — an unmeasured default risks a cold >8-min kernel compile or a
+        # VMEM rejection in the driver's bench run.
+        if l <= 128 and _os.environ.get("LATTECLIP_ATTN_SHORTL", "0") == "1" \
+                and _os.environ.get("LATTECLIP_ATTN_BUDGET_MB") is None \
+                and jax.default_backend() == "tpu":
+            budget = max(budget, 48 * 1024 * 1024)
+    # LATTECLIP_ATTN_GMAX caps the ladder for experiments (e.g. GMAX=16
+    # restores the pre-round-3 short-L behavior).
+    gmax_env = _os.environ.get("LATTECLIP_ATTN_GMAX")
+    gmax = int(gmax_env) if gmax_env is not None else 64
+    for g in (64, 32, 16, 8, 4, 2):
+        if g <= gmax and cost_fn(g, l, hd) <= budget:
             return g
     return 1
 

@@ -124,3 +124,78 @@ def test_sequence_packing_matches_unpacked(causal, monkeypatch):
     np.testing.assert_allclose(np.asarray(g_packed, np.float32),
                                np.asarray(g_plain, np.float32),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_group_size_ladder_tpu_defaults(monkeypatch):
+    """Pin the batch-group ladder picks that production TPU runs compile with.
+
+    Long L (vision, 197) must keep the measured-good fwd G=8 / bwd G=4
+    (BASELINE.md: fwd G=16 at L=197 regressed); short L (text, 77) gets the
+    overhead-amortizing fwd G=32 / bwd G=16 from the 48 MB short-L budget.
+    """
+    from latteclip_tpu.kernels import attention as A
+
+    for var in ("LATTECLIP_ATTN_BUDGET_MB", "LATTECLIP_ATTN_BUDGET_MB_FWD",
+                "LATTECLIP_ATTN_BUDGET_MB_BWD", "LATTECLIP_ATTN_GMAX"):
+        monkeypatch.delenv(var, raising=False)
+    monkeypatch.setenv("LATTECLIP_ATTN_SHORTL", "1")
+    monkeypatch.setattr(A, "_legacy_budget_cache", 24 * 1024 * 1024)
+    monkeypatch.setattr(A.jax, "default_backend", lambda: "tpu")
+
+    pick = lambda l, cost, which, hd=768: A._group_size_legacy(l, hd, cost, which)  # noqa: E731
+    assert pick(197, A._fwd_bytes_legacy, "fwd") == 8
+    assert pick(197, A._bwd_bytes_legacy, "bwd") == 4
+    assert pick(77, A._fwd_bytes_legacy, "fwd") == 32
+    assert pick(77, A._bwd_bytes_legacy, "bwd") == 16
+    # the production CLIP text tower (HD=512) amortizes further
+    assert pick(77, A._fwd_bytes_legacy, "fwd", 512) == 64
+    assert pick(77, A._bwd_bytes_legacy, "bwd", 512) == 32
+
+    # explicit budget overrides suppress the short-L bump (parity escape)
+    monkeypatch.setenv("LATTECLIP_ATTN_BUDGET_MB", "24")
+    monkeypatch.setattr(A, "_legacy_budget_cache", None)
+    assert pick(77, A._fwd_bytes_legacy, "fwd") == 16
+    assert pick(77, A._bwd_bytes_legacy, "bwd") == 8
+    monkeypatch.delenv("LATTECLIP_ATTN_BUDGET_MB")
+
+    # GMAX caps the ladder for experiments
+    monkeypatch.setattr(A, "_legacy_budget_cache", 24 * 1024 * 1024)
+    monkeypatch.setenv("LATTECLIP_ATTN_GMAX", "16")
+    assert pick(77, A._fwd_bytes_legacy, "fwd") == 16
+
+
+def test_attn_probs_pin_is_gradient_neutral(monkeypatch):
+    """Pinning ``attn_probs`` across the remat boundary must not change
+    values or grads — it only skips the QK^T+softmax recompute in backward
+    (the round-3 XLA-short-seq lever, kernels/__init__.py::xla_attention)."""
+    from latteclip_tpu.models import layers
+
+    rng = np.random.RandomState(0)
+    D, H, L, B = 64, 2, 13, 3
+    blocks = {
+        "ln_1_scale": jnp.ones((1, D)), "ln_1_bias": jnp.zeros((1, D)),
+        "in_proj_w": jnp.asarray(rng.randn(1, D, 3 * D) * 0.05, jnp.float32),
+        "in_proj_b": jnp.zeros((1, 3 * D)),
+        "out_proj_w": jnp.asarray(rng.randn(1, D, D) * 0.05, jnp.float32),
+        "out_proj_b": jnp.zeros((1, D)),
+        "ln_2_scale": jnp.ones((1, D)), "ln_2_bias": jnp.zeros((1, D)),
+        "c_fc_w": jnp.asarray(rng.randn(1, D, 4 * D) * 0.05, jnp.float32),
+        "c_fc_b": jnp.zeros((1, 4 * D)),
+        "c_proj_w": jnp.asarray(rng.randn(1, 4 * D, D) * 0.05, jnp.float32),
+        "c_proj_b": jnp.zeros((1, D)),
+    }
+    x = jnp.asarray(rng.randn(B, L, D) * 0.3, jnp.float32)
+
+    def loss(p, x):
+        y = layers.transformer_stack(x, p, H, True, layers.gelu,
+                                     jnp.bfloat16, remat=True, tower="_t")
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    base_val, base_grad = jax.value_and_grad(loss)(blocks, x)
+    monkeypatch.setattr(layers, "REMAT_SAVE_NAMES",
+                        ("flash_out", "flash_lse", "attn_probs"))
+    pin_val, pin_grad = jax.value_and_grad(loss)(blocks, x)
+
+    np.testing.assert_allclose(float(base_val), float(pin_val), rtol=0, atol=0)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+                 base_grad, pin_grad)
