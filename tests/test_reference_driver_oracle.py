@@ -220,3 +220,198 @@ def test_real_train_one_epoch_v2_trajectory():
     # and the full tree stays within a loose bound
     for key, v in ours_sd.items():
         np.testing.assert_allclose(v, ref_sd[key], rtol=0, atol=2e-3, err_msg=key)
+
+
+# ---------------------------------------------------------------------------
+# Two epochs + live cosine schedule + end-state zero-shot eval A/B
+# ---------------------------------------------------------------------------
+
+EVAL_CLASSES = [
+    "banded", "dotted", "striped", "zigzagged", "woven", "cracked",
+    "bubbly", "fibrous", "knitted", "pleated", "porous", "swirly",
+]  # >= 10 so the reference's top-10 accuracy path runs (zero_shot.py:14-20)
+
+
+class _EpochLoader:
+    """Epoch-switchable stub: epoch e yields batches[e*n : (e+1)*n]."""
+
+    def __init__(self, batches, per_epoch):
+        self._batches = batches
+        self._per_epoch = per_epoch
+        self._epoch = 0
+        self.num_batches = per_epoch
+        self.num_samples = per_epoch * batches[0][0].shape[0]
+
+    def set_epoch(self, epoch):
+        self._epoch = epoch
+
+    def __iter__(self):
+        lo = self._epoch * self._per_epoch
+        return iter(self._batches[lo:lo + self._per_epoch])
+
+
+class _EpochTrainData:
+    def __init__(self, loader):
+        self.dataloader = loader
+
+    def set_epoch(self, epoch):
+        self.dataloader.set_epoch(epoch)
+
+
+def test_real_v2_two_epochs_schedule_and_eval():
+    """Longer-horizon A/B vs the REAL reference: two epochs with the cosine
+    schedule ACTIVE on both sides (warmup 2, total 6 — reference
+    scheduler.py:43-53 vs train/optim.py), per-epoch prototype snapshots,
+    then the reference's real ``zero_shot_eval`` (method "ours", prototype
+    classifier — zero_shot.py:139-145) against our ``run_zero_shot_eval`` on
+    an identical held-out batch. Catches trainer-loop drift the single-epoch
+    trajectory test cannot: schedule stepping, epoch boundaries, bank
+    carry-over, and the eval classifier path."""
+    oc, ref_train = _load_reference_trainer()
+    from training import scheduler as ref_scheduler
+    from training import zero_shot as ref_zero_shot
+
+    EPOCHS, WARMUP = 2, 2
+    total_steps = EPOCHS * STEPS
+
+    # --- shared starting point -------------------------------------------
+    tok = get_tokenizer()
+    params = init_clip_params(jax.random.PRNGKey(3), CFG)
+    bank0 = np.asarray(init_memory_bank(params, CFG, tok, EVAL_CLASSES, TEMPLATES))
+    table = build_template_table(tok, EVAL_CLASSES, TEMPLATES)
+    rng = np.random.default_rng(11)
+    batches = []
+    for s in range(total_steps):
+        per_img = tok([
+            f"photo {s}-{i} of a {EVAL_CLASSES[(s + i) % len(EVAL_CLASSES)]} surface."
+            for i in range(B)
+        ])
+        per_grp = tok([
+            f"grid {s}-{i} of {EVAL_CLASSES[(s * 3 + i) % len(EVAL_CLASSES)]} patterns."
+            for i in range(B)
+        ])
+        batches.append({
+            "images": rng.integers(0, 255, size=(B, 32, 32, 3)).astype(np.uint8),
+            "per_image_tokens": per_img.astype(np.int32),
+            "per_group_tokens": per_grp.astype(np.int32),
+            "zs_preds": rng.integers(0, len(EVAL_CLASSES), size=(B,)).astype(np.int32),
+            "gt_labels": rng.integers(0, len(EVAL_CLASSES), size=(B,)).astype(np.int32),
+        })
+    norm_images = [np.asarray(T.normalize_images(b["images"])) for b in batches]
+    val_images = rng.integers(0, 255, size=(32, 32, 32, 3)).astype(np.uint8)
+    val_labels = rng.integers(0, len(EVAL_CLASSES), size=(32,)).astype(np.int64)
+
+    # --- ours: fused step + optax cosine schedule --------------------------
+    from latteclip_tpu.eval.zero_shot import (
+        make_eval_step,
+        prototype_classifier,
+        run_zero_shot_eval,
+    )
+    from latteclip_tpu.train.optim import make_schedule
+
+    sched = make_schedule("cosine", LR, warmup=WARMUP, total_steps=total_steps)
+    opt = optax.sgd(sched)
+    state = create_train_state(params, opt, bank0)
+    step = jax.jit(make_train_step(
+        CFG, opt, LatteHParams(augment=False, bug_compat=True), table))
+    our_losses = []
+    for e in range(EPOCHS):
+        state = state.start_epoch()
+        for i in range(STEPS):
+            state, metrics = step(state, batches[e * STEPS + i],
+                                  jax.random.PRNGKey(e * STEPS + i))
+            our_losses.append(float(metrics["loss"]))
+    our_classifier = prototype_classifier(state.memory_bank)
+    our_logits = np.asarray(make_eval_step(
+        state.params, CFG, our_classifier)(val_images))
+    ours_eval = run_zero_shot_eval(
+        state.params, CFG, our_classifier,
+        [(list(range(32)), val_images, val_labels, 32)])
+
+    # --- reference: two real train_one_epoch_v2 epochs --------------------
+    ref_clip = oc.model.CLIP(
+        embed_dim=CFG.embed_dim,
+        vision_cfg={"image_size": 32, "layers": 2, "width": 64, "patch_size": 16},
+        text_cfg={"context_length": 77, "vocab_size": 49408, "width": 64,
+                  "heads": 4, "layers": 2},
+    )
+    sd = {k: torch.from_numpy(v) for k, v in
+          params_to_pt_state_dict(params, CFG).items()}
+    missing, unexpected = ref_clip.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    model = oc.model.CustomCLIP(ref_clip, EVAL_CLASSES, oc.tokenize)
+    model.init_memory_bank(EVAL_CLASSES, TEMPLATES)
+    with torch.no_grad():
+        for i, c in enumerate(EVAL_CLASSES):
+            model.memory_bank[c].copy_(torch.from_numpy(bank0[i]))
+
+    ref_batches = []
+    for b, img in zip(batches, norm_images):
+        images_t = torch.from_numpy(img.transpose(0, 3, 1, 2)).contiguous()
+        per_img = torch.from_numpy(b["per_image_tokens"].astype(np.int64)).unsqueeze(1)
+        per_grp = torch.from_numpy(b["per_group_tokens"].astype(np.int64)).unsqueeze(1)
+        zs_names = [[EVAL_CLASSES[int(z)]] for z in b["zs_preds"]]
+        ref_batches.append((
+            images_t, images_t.clone(), per_img.clone(), per_grp.clone(),
+            [""] * B, None, per_img, per_grp, [{} for _ in range(B)], zs_names,
+        ))
+
+    data = {
+        "train": _EpochTrainData(_EpochLoader(ref_batches, STEPS)),
+        "dtd-train-zero-shot-classification": types.SimpleNamespace(
+            class_names=EVAL_CLASSES, templates=TEMPLATES),
+    }
+    args = _reference_args()
+    args.skip_scheduler = False
+    optimizer = torch.optim.SGD(model.parameters(), lr=LR, momentum=0.0)
+    scheduler = ref_scheduler.cosine_lr(optimizer, LR, WARMUP, total_steps)
+    writer = _CaptureWriter()
+    for epoch in range(EPOCHS):
+        data["train"].set_epoch(epoch)
+        ref_train.train_one_epoch_v2(
+            model, data, oc.ClipLoss(), epoch, optimizer,
+            None, scheduler, None, args, tb_writer=writer)
+
+    ref_losses = writer.scalars["train/loss"]
+    assert len(ref_losses) == total_steps
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=0, atol=3e-4)
+
+    ref_bank = np.stack([model.memory_bank[c].detach().numpy()
+                         for c in EVAL_CLASSES])
+    np.testing.assert_allclose(
+        np.asarray(state.memory_bank), ref_bank, rtol=0, atol=5e-4)
+    ours_sd = params_to_pt_state_dict(state.params, CFG)
+    ref_sd = {k: v.detach().numpy() for k, v in ref_clip.state_dict().items()}
+    for key, v in ours_sd.items():
+        np.testing.assert_allclose(v, ref_sd[key], rtol=0, atol=2e-3, err_msg=key)
+
+    # --- eval A/B through the reference's REAL zero_shot_eval --------------
+    norm_val = np.asarray(T.normalize_images(val_images, *T.model_mean_std(CFG)))
+    val_loader = [(
+        list(range(32)),
+        torch.from_numpy(norm_val.transpose(0, 3, 1, 2)).contiguous(),
+        torch.from_numpy(val_labels),
+    )]
+    eval_data = {
+        "dtd-val-zero-shot-classification": types.SimpleNamespace(
+            dataloader=val_loader, class_names=EVAL_CLASSES,
+            templates=TEMPLATES),
+    }
+    args.method = "ours"
+    args.zeroshot_frequency = 1
+    args.epochs = EPOCHS
+    args.distributed = False
+    results = ref_zero_shot.zero_shot_eval(
+        model, eval_data, EPOCHS, args, tokenizer=oc.tokenize)
+
+    with torch.no_grad():
+        mem = torch.nn.functional.normalize(
+            torch.stack([model.memory_bank[c] for c in EVAL_CLASSES]), dim=1)
+        out = model(image=val_loader[0][1])
+        feats = out["image_features"] if isinstance(out, dict) else out[0]
+        ref_logits = (100.0 * feats @ mem.T.detach()).numpy()
+    np.testing.assert_allclose(our_logits, ref_logits, rtol=0, atol=5e-3)
+    key = "dtd-val-zero-shot-classification-val-top{}"
+    for k, our_key in ((1, "top1"), (5, "top5"), (10, "top10")):
+        assert abs(results[key.format(k)] - ours_eval[our_key]) < 1e-9, (
+            k, results[key.format(k)], ours_eval[our_key])
