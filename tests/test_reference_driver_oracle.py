@@ -223,6 +223,89 @@ def test_real_train_one_epoch_v2_trajectory():
 
 
 # ---------------------------------------------------------------------------
+# FLYP baseline: the reference's REAL train_one_epoch_original_clip
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("use_gt", [False, True], ids=["flyp", "flyp_gt"])
+def test_real_flyp_trainer_trajectory(use_gt):
+    """Drives the reference's real ``train_one_epoch_original_clip``
+    (``/root/reference/src/training/train.py:76-284`` — the FLYP/FLYP_GT
+    baseline: per-sample template texts from the pseudo-label (or GT
+    classname), one ClipLoss) and compares losses + final params against
+    ``make_flyp_step``. Our step encodes the C unique class templates once
+    and gathers rows — gradient-identical to the reference's per-sample
+    re-encoding (gather's transpose is scatter-add) — so the trajectories
+    must match to fp32 tolerance."""
+    oc, ref_train = _load_reference_trainer()
+
+    tok = get_tokenizer()
+    params = init_clip_params(jax.random.PRNGKey(5), CFG)
+    table = build_template_table(tok, CLASSES, TEMPLATES)
+    batches = _make_batches(tok, np.random.default_rng(13))
+    norm_images = [np.asarray(T.normalize_images(b["images"])) for b in batches]
+
+    # --- ours: flyp step, SGD ---------------------------------------------
+    from latteclip_tpu.train.step import make_flyp_step
+
+    opt = optax.sgd(LR)
+    bank0 = np.asarray(init_memory_bank(params, CFG, tok, CLASSES, TEMPLATES))
+    state = create_train_state(params, opt, bank0)
+    step = jax.jit(make_flyp_step(
+        CFG, opt, LatteHParams(augment=False), table, use_gt=use_gt))
+    our_losses = []
+    for i, b in enumerate(batches):
+        state, metrics = step(state, b, jax.random.PRNGKey(i))
+        our_losses.append(float(metrics["loss"]))
+
+    # --- reference: the real train_one_epoch_original_clip ------------------
+    ref_clip = oc.model.CLIP(
+        embed_dim=CFG.embed_dim,
+        vision_cfg={"image_size": 32, "layers": 2, "width": 64, "patch_size": 16},
+        text_cfg={"context_length": 77, "vocab_size": 49408, "width": 64,
+                  "heads": 4, "layers": 2},
+    )
+    sd = {k: torch.from_numpy(v) for k, v in
+          params_to_pt_state_dict(params, CFG).items()}
+    missing, unexpected = ref_clip.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    model = oc.model.CustomCLIP(ref_clip, CLASSES, oc.tokenize)
+
+    ref_batches = []
+    for b, img in zip(batches, norm_images):
+        images_t = torch.from_numpy(img.transpose(0, 3, 1, 2)).contiguous()
+        per_img = torch.from_numpy(b["per_image_tokens"].astype(np.int64)).unsqueeze(1)
+        per_grp = torch.from_numpy(b["per_group_tokens"].astype(np.int64)).unsqueeze(1)
+        metadata = [{"class_name": CLASSES[int(g)]} for g in b["gt_labels"]]
+        zs_names = [[CLASSES[int(z)]] for z in b["zs_preds"]]
+        ref_batches.append((
+            images_t, images_t.clone(), per_img.clone(), per_grp.clone(),
+            [""] * B, None, per_img, per_grp, metadata, zs_names,
+        ))
+
+    data = {
+        "train": _StubTrainData(_StubLoader(ref_batches)),
+        "dtd-train-zero-shot-classification": types.SimpleNamespace(
+            class_names=CLASSES, templates=TEMPLATES),
+    }
+    writer = _CaptureWriter()
+    ref_train.train_one_epoch_original_clip(
+        model, data, oc.ClipLoss(), 0,
+        torch.optim.SGD(model.parameters(), lr=LR, momentum=0.0),
+        None, None, None, _reference_args(), use_gt=use_gt, tb_writer=writer,
+    )
+
+    ref_losses = writer.scalars["train/loss"]
+    assert len(ref_losses) == STEPS
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=0, atol=2e-4)
+
+    ours_sd = params_to_pt_state_dict(state.params, CFG)
+    ref_sd = {k: v.detach().numpy() for k, v in ref_clip.state_dict().items()}
+    for key, v in ours_sd.items():
+        np.testing.assert_allclose(v, ref_sd[key], rtol=0, atol=2e-3, err_msg=key)
+
+
+# ---------------------------------------------------------------------------
 # Two epochs + live cosine schedule + end-state zero-shot eval A/B
 # ---------------------------------------------------------------------------
 
