@@ -655,7 +655,8 @@ def params_to_pt_state_dict(
             assert classnames is not None and len(classnames) == len(memory_bank)
             for name, vec in zip(classnames, np.asarray(memory_bank, dtype=np.float32)):
                 sd[f"memory_bank.{name}"] = vec
-        return {k: np.ascontiguousarray(w) for k, w in sd.items()}
+        return {k: w if w.flags["C_CONTIGUOUS"] else np.asarray(w, order="C")
+            for k, w in sd.items()}
 
     P = cfg.vision.patch_size
     D = cfg.vision.width
@@ -710,7 +711,8 @@ def params_to_pt_state_dict(
         assert classnames is not None and len(classnames) == len(memory_bank)
         for name, vec in zip(classnames, np.asarray(memory_bank, dtype=np.float32)):
             sd[f"memory_bank.{name}"] = vec
-    return {k: np.ascontiguousarray(w) for k, w in sd.items()}
+    return {k: w if w.flags["C_CONTIGUOUS"] else np.asarray(w, order="C")
+            for k, w in sd.items()}
 
 
 def flatten_opt_state(opt_state) -> Dict[str, np.ndarray]:

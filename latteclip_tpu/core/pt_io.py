@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import io
 import pickle
+import struct
 import zipfile
 from typing import Any, Dict, List
 
@@ -196,73 +197,187 @@ def load_safetensors(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
-def _find_global(module: str, name: str):  # executed by torch.load
-    import importlib
-
-    return getattr(importlib.import_module(module), name)
-
-
-class _FuncRef:
-    """Pickles as GLOBAL module.name (so torch.load resolves real torch fns)."""
-
-    def __init__(self, module: str, name: str):
-        self.module = module
-        self.name = name
-
-    def __reduce__(self):
-        return (_find_global, (self.module, self.name))
-
-
-class _PersistentStorage:
-    """Marker consumed by the Pickler's persistent_id hook."""
-
-    def __init__(self, key: int, arr: np.ndarray):
-        self.key = key
-        self.arr = arr
-
-
-def _apply_rebuild(rebuild, storage, offset, size, stride):  # pragma: no cover
-    # Executed by torch.load; rebuild is torch._utils._rebuild_tensor_v2.
+def _apply_rebuild(rebuild, storage, offset, size, stride):
+    # legacy: files written by pre-round-3 save_pt pickle this module's
+    # _apply_rebuild as their rebuild shim; kept so load_pt still reads them
     return rebuild(storage, offset, size, stride, False, {})
 
 
 class _TensorProxy:
-    """Pickles as a _rebuild_tensor_v2 invocation over a persistent storage."""
+    """Marker for a tensor leaf; the emitter writes it as a standard
+    ``torch._utils._rebuild_tensor_v2`` REDUCE over a persistent storage."""
+
+    __slots__ = ("key", "arr")
 
     def __init__(self, key: int, arr: np.ndarray):
         self.key = key
         self.arr = arr
 
-    def __reduce__(self):
-        strides = tuple(s // self.arr.itemsize for s in self.arr.strides)
-        return (
-            _apply_rebuild,
-            (
-                _FuncRef("torch._utils", "_rebuild_tensor_v2"),
-                _PersistentStorage(self.key, self.arr),
-                0,
-                tuple(self.arr.shape),
-                strides,
-            ),
-        )
 
+class _PickleEmitter:
+    """Hand-rolled protocol-2 pickle emitter for checkpoint payloads.
 
-class _Pickler(pickle.Pickler):
-    def persistent_id(self, obj):
-        if isinstance(obj, _PersistentStorage):
-            storage_name = _STORAGE_BY_DTYPE[obj.arr.dtype]
-            return ("storage", _FuncRef("torch", storage_name), str(obj.key), "cpu", obj.arr.size)
-        return None
+    Why not ``pickle.Pickler``: the stream must reference
+    ``torch._utils._rebuild_tensor_v2`` / ``torch.FloatStorage`` /
+    ``collections.OrderedDict`` as GLOBALs **without importing torch**, and
+    the stdlib pickler refuses to emit a GLOBAL unless importing it yields
+    the object being pickled. Earlier versions routed through shim functions
+    in THIS module, which made the files require ``latteclip_tpu`` at
+    ``torch.load`` time and fail ``weights_only=True`` (torch >= 2.6
+    default). This emitter produces exactly the opcodes torch's own writer
+    uses, so the files are plain OpenCLIP checkpoints: every global is on
+    torch's weights_only allowlist.
+    """
+
+    def __init__(self):
+        self.out = io.BytesIO()
+        self.out.write(b"\x80\x02")  # PROTO 2
+        self._memo: Dict[Any, int] = {}
+
+    # -- memo: torch.load requires each GLOBAL to be memoized only if GET
+    # is used; we memoize globals to keep repeated tensors compact ---------
+    def _put(self, key) -> None:
+        idx = len(self._memo)
+        self._memo[key] = idx
+        if idx < 256:
+            self.out.write(b"q" + bytes([idx]))        # BINPUT
+        else:
+            self.out.write(b"r" + struct.pack("<I", idx))  # LONG_BINPUT
+
+    def _get(self, key) -> bool:
+        idx = self._memo.get(key)
+        if idx is None:
+            return False
+        if idx < 256:
+            self.out.write(b"h" + bytes([idx]))        # BINGET
+        else:
+            self.out.write(b"j" + struct.pack("<I", idx))  # LONG_BINGET
+        return True
+
+    def global_(self, module: str, name: str) -> None:
+        if self._get(("g", module, name)):
+            return
+        self.out.write(f"c{module}\n{name}\n".encode("utf-8"))
+        self._put(("g", module, name))
+
+    def save(self, o) -> None:
+        out = self.out
+        if o is None:
+            out.write(b"N")
+        elif o is True:
+            out.write(b"\x88")
+        elif o is False:
+            out.write(b"\x89")
+        elif isinstance(o, _TensorProxy):
+            self._tensor(o)
+        elif isinstance(o, int):
+            self._int(o)
+        elif isinstance(o, float):
+            out.write(b"G" + struct.pack(">d", o))     # BINFLOAT
+        elif isinstance(o, str):
+            b = o.encode("utf-8")
+            out.write(b"X" + struct.pack("<I", len(b)) + b)  # BINUNICODE
+        elif isinstance(o, bytes):
+            out.write(b"C" + bytes([len(o)]) + o if len(o) < 256
+                      else b"B" + struct.pack("<I", len(o)) + o)
+        elif isinstance(o, dict):
+            out.write(b"}")                            # EMPTY_DICT
+            if o:
+                out.write(b"(")                        # MARK
+                for k, v in o.items():
+                    self.save(k)
+                    self.save(v)
+                out.write(b"u")                        # SETITEMS
+        elif isinstance(o, list):
+            out.write(b"]")                            # EMPTY_LIST
+            if o:
+                out.write(b"(")
+                for v in o:
+                    self.save(v)
+                out.write(b"e")                        # APPENDS
+        elif isinstance(o, tuple):
+            self._tuple(o)
+        else:
+            raise TypeError(f"cannot emit {type(o).__name__} into a .pt file")
+
+    def _int(self, i: int) -> None:
+        out = self.out
+        if 0 <= i < 256:
+            out.write(b"K" + bytes([i]))               # BININT1
+        elif 0 <= i < 65536:
+            out.write(b"M" + struct.pack("<H", i))     # BININT2
+        elif -(2 ** 31) <= i < 2 ** 31:
+            out.write(b"J" + struct.pack("<i", i))     # BININT
+        else:
+            enc = i.to_bytes((i.bit_length() + 8) // 8, "little", signed=True)
+            out.write(b"\x8a" + bytes([len(enc)]) + enc)  # LONG1
+
+    def _tuple(self, t: tuple) -> None:
+        n = len(t)
+        if n == 0:
+            self.out.write(b")")                       # EMPTY_TUPLE
+            return
+        if n > 3:
+            self.out.write(b"(")                       # MARK
+        for v in t:
+            self.save(v)
+        if n == 1:
+            self.out.write(b"\x85")                    # TUPLE1
+        elif n == 2:
+            self.out.write(b"\x86")                    # TUPLE2
+        elif n == 3:
+            self.out.write(b"\x87")                    # TUPLE3
+        else:
+            self.out.write(b"t")                       # TUPLE
+
+    def _marked_tuple(self, emit_items) -> None:
+        self.out.write(b"(")                           # MARK
+        emit_items()
+        self.out.write(b"t")                           # TUPLE
+
+    def _tensor(self, t: _TensorProxy) -> None:
+        arr = t.arr
+        out = self.out
+        # callable
+        self.global_("torch._utils", "_rebuild_tensor_v2")
+        # args: (storage, offset, size, stride, requires_grad, hooks)
+        out.write(b"(")                                # MARK for args tuple
+        # persistent id: ('storage', <StorageType>, key, device, numel)
+        self._marked_tuple(lambda: (
+            self.save("storage"),
+            self.global_("torch", _STORAGE_BY_DTYPE[arr.dtype]),
+            self.save(str(t.key)),
+            self.save("cpu"),
+            self.save(int(arr.size)),
+        ))
+        out.write(b"Q")                                # BINPERSID
+        self.save(0)                                   # storage offset
+        self._tuple(tuple(int(s) for s in arr.shape))
+        self._tuple(tuple(s // arr.itemsize for s in arr.strides))
+        out.write(b"\x89")                             # requires_grad=False
+        self.global_("collections", "OrderedDict")     # backward hooks
+        out.write(b")R")                               # EMPTY_TUPLE, REDUCE
+        out.write(b"t")                                # close args tuple
+        out.write(b"R")                                # REDUCE -> tensor
+
+    def dump(self, payload) -> bytes:
+        self.save(payload)
+        self.out.write(b".")                           # STOP
+        return self.out.getvalue()
 
 
 def save_pt(obj: Any, path: str) -> None:
     """Write ``obj`` (dicts/lists/scalars/np.ndarray leaves) as a .pt file
-    readable by both :func:`load_pt` and ``torch.load``."""
+    readable by :func:`load_pt` and by ``torch.load`` — including
+    ``weights_only=True``: the stream references only torch-allowlisted
+    globals (``_rebuild_tensor_v2``, storage classes, ``OrderedDict``)."""
     tensors: List[np.ndarray] = []
 
     def convert(o):
         if isinstance(o, np.ndarray):
-            arr = np.ascontiguousarray(o)
+            # NOT ascontiguousarray: that has ndmin=1 semantics and would
+            # silently promote 0-d tensors (logit_scale) to shape (1,)
+            arr = o if o.flags["C_CONTIGUOUS"] else np.asarray(o, order="C")
             if arr.dtype not in _STORAGE_BY_DTYPE:
                 arr = arr.astype(np.float32)  # e.g. ml_dtypes.bfloat16
             tensors.append(arr)
@@ -277,10 +392,10 @@ def save_pt(obj: Any, path: str) -> None:
         return o
 
     payload = convert(obj)
-    buf = io.BytesIO()
-    _Pickler(buf, protocol=2).dump(payload)
+    data = _PickleEmitter().dump(payload)
     with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_STORED) as zf:
-        zf.writestr("archive/data.pkl", buf.getvalue())
+        zf.writestr("archive/data.pkl", data)
+        zf.writestr("archive/byteorder", "little")
         zf.writestr("archive/version", "3\n")
         for key, arr in enumerate(tensors):
             zf.writestr(f"archive/data/{key}", arr.tobytes())

@@ -40,6 +40,61 @@ def test_torch_reads_ours(tmp_path):
     assert t["epoch"] == 7
 
 
+def test_torch_weights_only_reads_ours(tmp_path):
+    """The stream must reference ONLY torch-allowlisted globals — a stock
+    OpenCLIP user on torch >= 2.6 loads with the weights_only=True default
+    and must not need latteclip_tpu importable (round-3 writer fix)."""
+    p = str(tmp_path / "x.pt")
+    obj = _sample_obj()
+    obj["state_dict"]["logit_scale"] = np.asarray(4.6052, np.float32).reshape(())
+    obj["tags"] = ["a", "b"]
+    obj["flags"] = (True, False, None)
+    save_pt(obj, p)
+    t = torch.load(p, map_location="cpu", weights_only=True)
+    assert t["state_dict"]["logit_scale"].shape == ()  # 0-d preserved
+    for k in ("w", "b", "h"):
+        np.testing.assert_array_equal(
+            t["state_dict"][k].numpy(), obj["state_dict"][k])
+    assert t["tags"] == ["a", "b"] and tuple(t["flags"]) == (True, False, None)
+
+
+def test_legacy_shim_files_still_load(tmp_path):
+    """Files written by the pre-round-3 writer pickled shim globals from this
+    module (_find_global/_apply_rebuild); load_pt must keep reading them."""
+    import io as _io
+    import pickle
+    import zipfile
+
+    from latteclip_tpu.core import pt_io
+
+    arr = np.arange(6, dtype=np.float32).reshape(2, 3)
+
+    class LegacyProxy:
+        def __reduce__(self):
+            return (
+                pt_io._apply_rebuild,
+                (torch._utils._rebuild_tensor_v2, Storage(), 0, (2, 3), (3, 1)),
+            )
+
+    class Storage:
+        pass
+
+    class LegacyPickler(pickle.Pickler):
+        def persistent_id(self, o):
+            if isinstance(o, Storage):
+                return ("storage", "FloatStorage", "0", "cpu", 6)
+            return None
+
+    buf = _io.BytesIO()
+    LegacyPickler(buf, protocol=2).dump({"w": LegacyProxy()})
+    p = str(tmp_path / "legacy.pt")
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("archive/data.pkl", buf.getvalue())
+        zf.writestr("archive/data/0", arr.tobytes())
+    back = load_pt(p)
+    np.testing.assert_array_equal(back["w"], arr)
+
+
 def test_we_read_torch(tmp_path):
     p = str(tmp_path / "y.pt")
     torch.save(
