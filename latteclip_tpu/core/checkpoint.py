@@ -302,6 +302,135 @@ def _eva_visual_to_sd(v: Dict[str, Any], cfg) -> Dict[str, np.ndarray]:
     return sd
 
 
+def _eva02_visual_from_sd(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """timm EVA02 keys (``visual.trunk.*``; see models/eva02.py) -> pytree.
+
+    Attention import is KEY-DRIVEN: fused ``attn.qkv.weight`` + q/v bias
+    (implicit-zero k) or separate ``attn.{q,k,v}_proj`` (biasless k) both
+    pack into one ``in_proj``; the optional inner ``attn.norm`` and the
+    SwiGLU ``mlp.{fc1_g,fc1_x,norm,fc2}`` vs plain ``mlp.{fc1,fc2}`` follow
+    the config flags."""
+
+    def f32(key):
+        return np.asarray(sd[key], np.float32)
+
+    P, D = cfg.patch_size, cfg.width
+    conv = f32("visual.trunk.patch_embed.proj.weight")
+    per: Dict[str, list] = {}
+
+    def add(key, val):
+        per.setdefault(key, []).append(val)
+
+    for i in range(cfg.layers):
+        pre = f"visual.trunk.blocks.{i}"
+        add("ln_1_scale", f32(f"{pre}.norm1.weight"))
+        add("ln_1_bias", f32(f"{pre}.norm1.bias"))
+        if f"{pre}.attn.qkv.weight" in sd:
+            add("in_proj_w", f32(f"{pre}.attn.qkv.weight").T)
+            add("in_proj_b", np.concatenate([
+                f32(f"{pre}.attn.q_bias"), np.zeros(D, np.float32),
+                f32(f"{pre}.attn.v_bias")]))
+        else:
+            add("in_proj_w", np.concatenate([
+                f32(f"{pre}.attn.q_proj.weight").T,
+                f32(f"{pre}.attn.k_proj.weight").T,
+                f32(f"{pre}.attn.v_proj.weight").T], axis=1))
+            add("in_proj_b", np.concatenate([
+                f32(f"{pre}.attn.q_proj.bias"), np.zeros(D, np.float32),
+                f32(f"{pre}.attn.v_proj.bias")]))
+        if cfg.inner_attn_norm:
+            add("attn_norm_scale", f32(f"{pre}.attn.norm.weight"))
+            add("attn_norm_bias", f32(f"{pre}.attn.norm.bias"))
+        add("out_proj_w", f32(f"{pre}.attn.proj.weight").T)
+        add("out_proj_b", f32(f"{pre}.attn.proj.bias"))
+        add("ln_2_scale", f32(f"{pre}.norm2.weight"))
+        add("ln_2_bias", f32(f"{pre}.norm2.bias"))
+        if cfg.swiglu:
+            add("w1g", f32(f"{pre}.mlp.fc1_g.weight").T)
+            add("b1g", f32(f"{pre}.mlp.fc1_g.bias"))
+            add("w1x", f32(f"{pre}.mlp.fc1_x.weight").T)
+            add("b1x", f32(f"{pre}.mlp.fc1_x.bias"))
+            add("ln_sub_scale", f32(f"{pre}.mlp.norm.weight"))
+            add("ln_sub_bias", f32(f"{pre}.mlp.norm.bias"))
+            add("w2", f32(f"{pre}.mlp.fc2.weight").T)
+            add("b2", f32(f"{pre}.mlp.fc2.bias"))
+        else:
+            add("c_fc_w", f32(f"{pre}.mlp.fc1.weight").T)
+            add("c_fc_b", f32(f"{pre}.mlp.fc1.bias"))
+            add("c_proj_w", f32(f"{pre}.mlp.fc2.weight").T)
+            add("c_proj_b", f32(f"{pre}.mlp.fc2.bias"))
+    pos = resize_vision_pos_embed(
+        f32("visual.trunk.pos_embed").reshape(-1, D), cfg.seq_len, cls_token=True)
+    return {
+        "patch_kernel": conv.transpose(2, 3, 1, 0).reshape(P * P * 3, D),
+        "patch_bias": f32("visual.trunk.patch_embed.proj.bias"),
+        "class_embedding": f32("visual.trunk.cls_token").reshape(D),
+        "pos_embed": pos,
+        "blocks": {k: np.stack(v) for k, v in per.items()},
+        "ln_post_scale": f32("visual.trunk.norm.weight"),
+        "ln_post_bias": f32("visual.trunk.norm.bias"),
+        "proj": f32("visual.trunk.head.weight").T.copy(),
+        "proj_b": f32("visual.trunk.head.bias"),
+    }
+
+
+def _eva02_visual_to_sd(v: Dict[str, Any], cfg) -> Dict[str, np.ndarray]:
+    def t(w):
+        return np.ascontiguousarray(np.asarray(w, np.float32).T)
+
+    P, D = cfg.patch_size, cfg.width
+    conv = np.asarray(v["patch_kernel"], np.float32).reshape(P, P, 3, D).transpose(3, 2, 0, 1)
+    sd: Dict[str, np.ndarray] = {
+        "visual.trunk.patch_embed.proj.weight": np.ascontiguousarray(conv),
+        "visual.trunk.patch_embed.proj.bias": np.asarray(v["patch_bias"], np.float32),
+        "visual.trunk.cls_token": np.asarray(v["class_embedding"], np.float32).reshape(1, 1, D),
+        "visual.trunk.pos_embed": np.asarray(v["pos_embed"], np.float32)[None],
+        "visual.trunk.norm.weight": np.asarray(v["ln_post_scale"], np.float32),
+        "visual.trunk.norm.bias": np.asarray(v["ln_post_bias"], np.float32),
+        "visual.trunk.head.weight": t(v["proj"]),
+        "visual.trunk.head.bias": np.asarray(v["proj_b"], np.float32),
+    }
+    b = v["blocks"]
+    for i in range(np.asarray(b["ln_1_scale"]).shape[0]):
+        pre = f"visual.trunk.blocks.{i}"
+        sd[f"{pre}.norm1.weight"] = np.asarray(b["ln_1_scale"][i], np.float32)
+        sd[f"{pre}.norm1.bias"] = np.asarray(b["ln_1_bias"][i], np.float32)
+        ipw = np.asarray(b["in_proj_w"][i], np.float32)
+        ipb = np.asarray(b["in_proj_b"][i], np.float32)
+        if cfg.qkv_fused:
+            sd[f"{pre}.attn.qkv.weight"] = t(ipw)
+            sd[f"{pre}.attn.q_bias"] = ipb[:D].copy()
+            sd[f"{pre}.attn.v_bias"] = ipb[2 * D:].copy()
+        else:
+            sd[f"{pre}.attn.q_proj.weight"] = t(ipw[:, :D])
+            sd[f"{pre}.attn.q_proj.bias"] = ipb[:D].copy()
+            sd[f"{pre}.attn.k_proj.weight"] = t(ipw[:, D:2 * D])
+            sd[f"{pre}.attn.v_proj.weight"] = t(ipw[:, 2 * D:])
+            sd[f"{pre}.attn.v_proj.bias"] = ipb[2 * D:].copy()
+        if cfg.inner_attn_norm:
+            sd[f"{pre}.attn.norm.weight"] = np.asarray(b["attn_norm_scale"][i], np.float32)
+            sd[f"{pre}.attn.norm.bias"] = np.asarray(b["attn_norm_bias"][i], np.float32)
+        sd[f"{pre}.attn.proj.weight"] = t(b["out_proj_w"][i])
+        sd[f"{pre}.attn.proj.bias"] = np.asarray(b["out_proj_b"][i], np.float32)
+        sd[f"{pre}.norm2.weight"] = np.asarray(b["ln_2_scale"][i], np.float32)
+        sd[f"{pre}.norm2.bias"] = np.asarray(b["ln_2_bias"][i], np.float32)
+        if cfg.swiglu:
+            sd[f"{pre}.mlp.fc1_g.weight"] = t(b["w1g"][i])
+            sd[f"{pre}.mlp.fc1_g.bias"] = np.asarray(b["b1g"][i], np.float32)
+            sd[f"{pre}.mlp.fc1_x.weight"] = t(b["w1x"][i])
+            sd[f"{pre}.mlp.fc1_x.bias"] = np.asarray(b["b1x"][i], np.float32)
+            sd[f"{pre}.mlp.norm.weight"] = np.asarray(b["ln_sub_scale"][i], np.float32)
+            sd[f"{pre}.mlp.norm.bias"] = np.asarray(b["ln_sub_bias"][i], np.float32)
+            sd[f"{pre}.mlp.fc2.weight"] = t(b["w2"][i])
+            sd[f"{pre}.mlp.fc2.bias"] = np.asarray(b["b2"][i], np.float32)
+        else:
+            sd[f"{pre}.mlp.fc1.weight"] = t(b["c_fc_w"][i])
+            sd[f"{pre}.mlp.fc1.bias"] = np.asarray(b["c_fc_b"][i], np.float32)
+            sd[f"{pre}.mlp.fc2.weight"] = t(b["c_proj_w"][i])
+            sd[f"{pre}.mlp.fc2.bias"] = np.asarray(b["c_proj_b"][i], np.float32)
+    return sd
+
+
 def _convnext_visual_from_sd(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
     """``visual.trunk.*`` / ``visual.head.*`` ConvNeXt keys (timm layout via
     the reference TimmModel wrapper, timm_model.py:73-108) -> convnext
@@ -522,9 +651,14 @@ def pt_state_dict_to_params(
         if k.startswith("memory_bank.")
     }
 
+    from latteclip_tpu.core.config import Eva02VisionConfig
+
     eva = getattr(cfg.vision, "timm_trunk", "").startswith("eva")
-    if isinstance(cfg.vision, (ResNetVisionConfig, ConvNeXtVisionConfig)) or eva:
-        if eva:
+    eva2 = isinstance(cfg.vision, Eva02VisionConfig)
+    if isinstance(cfg.vision, (ResNetVisionConfig, ConvNeXtVisionConfig)) or eva or eva2:
+        if eva2:
+            visual = _eva02_visual_from_sd(sd, cfg.vision)
+        elif eva:
             visual = _eva_visual_from_sd(sd, cfg.vision)
         elif isinstance(cfg.vision, ConvNeXtVisionConfig):
             visual = _convnext_visual_from_sd(sd, cfg.vision)
@@ -634,9 +768,14 @@ def params_to_pt_state_dict(
     params = jax.tree.map(lambda x: np.asarray(x, dtype=np.float32), params)
     v, t = params["visual"], params["text"]
 
+    from latteclip_tpu.core.config import Eva02VisionConfig
+
     eva = getattr(cfg.vision, "timm_trunk", "").startswith("eva")
-    if isinstance(cfg.vision, (ResNetVisionConfig, ConvNeXtVisionConfig)) or eva:
-        if eva:
+    eva2 = isinstance(cfg.vision, Eva02VisionConfig)
+    if isinstance(cfg.vision, (ResNetVisionConfig, ConvNeXtVisionConfig)) or eva or eva2:
+        if eva2:
+            sd = _eva02_visual_to_sd(v, cfg.vision)
+        elif eva:
             sd = _eva_visual_to_sd(v, cfg.vision)
         elif isinstance(cfg.vision, ConvNeXtVisionConfig):
             sd = _convnext_visual_to_sd(v, cfg.vision)

@@ -110,6 +110,65 @@ class ConvNeXtVisionConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class Eva02VisionConfig:
+    """EVA-02 TrV trunk (reference reaches it via timm ``eva02_*_clip_*``;
+    native implementation in models/eva02.py — see its module docstring for
+    the published-architecture sourcing and the rope-layout caveat)."""
+
+    trunk: str = "eva02_base_patch16_clip_224"
+    image_size: int = 224
+    patch_size: int = 16
+    width: int = 768
+    layers: int = 12
+    head_width: int = 64
+    swiglu_hidden: int = 2048       # int(width * 4*2/3) for TrV variants
+    swiglu: bool = True             # SwiGLU + sub-LN MLP (plain gelu MLP if False)
+    use_rope: bool = True           # 2-D axial rope on q/k
+    inner_attn_norm: bool = True    # LN on merged heads pre-out-proj (scale_attn_inner)
+    post_norm: bool = False         # E variant: post-norm blocks
+    qkv_fused: bool = True          # fused qkv w/ q/v bias (B, E); L splits q/k/v
+    ref_feat_shape: int = 16        # rope reference grid (224/16; timm ref_feat_shape)
+    rope_temperature: float = 10000.0
+    ln_eps: float = 1e-6
+
+    @property
+    def heads(self) -> int:
+        return self.width // self.head_width
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def seq_len(self) -> int:
+        return self.grid * self.grid + 1
+
+
+# Published EVA02-CLIP trunk shapes (EVA-02 arXiv 2303.11331 Table 2;
+# EVA-CLIP arXiv 2303.15389 Table 1). The enormous tower is EVA-CLIP's
+# pre-TrV giant: plain MLP, no rope, post-norm.
+EVA02_TRUNKS: Dict[str, Dict[str, Any]] = {
+    "eva02_base_patch16_clip_224": dict(
+        patch_size=16, width=768, layers=12, head_width=64,
+        swiglu_hidden=2048, ref_feat_shape=16,
+    ),
+    "eva02_large_patch14_clip_224": dict(
+        patch_size=14, width=1024, layers=24, head_width=64,
+        swiglu_hidden=2730, ref_feat_shape=16, qkv_fused=False,
+    ),
+    "eva02_large_patch14_clip_336": dict(
+        patch_size=14, width=1024, layers=24, head_width=64,
+        swiglu_hidden=2730, ref_feat_shape=16, qkv_fused=False,
+    ),
+    "eva02_enormous_patch14_clip_224": dict(
+        patch_size=14, width=1792, layers=64, head_width=112,
+        swiglu_hidden=15360, swiglu=False, use_rope=False,
+        inner_attn_norm=False, post_norm=True,
+    ),
+}
+
+
+@dataclasses.dataclass(frozen=True)
 class TextConfig:
     context_length: int = 77
     vocab_size: int = 49408
@@ -173,9 +232,8 @@ def _filter_fields(cls, d: Dict[str, Any]) -> Dict[str, Any]:
 
 
 # timm Eva trunks that are standard pre-norm ViTs (no rope/swiglu/sub-LN),
-# expressible on the native tower. EVA02 trunks stay gated: their rope +
-# SwiGLU + sub-LN semantics have no in-environment oracle to validate a
-# from-scratch port against (timm absent, no weights, zero egress).
+# expressible on the native tower. EVA02 trunks (rope + SwiGLU + sub-LN)
+# live in EVA02_TRUNKS below with their own tower (models/eva02.py).
 EVA_TRUNKS: Dict[str, Dict[str, Any]] = {
     "eva_giant_patch14_224": dict(
         width=1408, layers=40, head_width=88, mlp_ratio=6144 / 1408,
@@ -204,6 +262,12 @@ def config_from_dict(name: str, raw: Dict[str, Any]) -> CLIPConfig:
             no_ln_pre=True, pool_type="tok", timm_trunk=timm_name,
             ln_eps=1e-6,  # timm Eva norm_layer eps
             **EVA_TRUNKS[timm_name],
+        )
+    elif timm_name in EVA02_TRUNKS:
+        vision = Eva02VisionConfig(
+            trunk=timm_name,
+            image_size=int(vision_raw.get("image_size", 224)),
+            **EVA02_TRUNKS[timm_name],
         )
     elif timm_name is not None:
         from latteclip_tpu.models.convnext import CONVNEXT_TRUNKS
@@ -283,12 +347,7 @@ def config_from_dict(name: str, raw: Dict[str, Any]) -> CLIPConfig:
 # either resolves here or appears in this list — nothing goes missing
 # silently. Re-check the gates each round (e.g. if timm lands in the image).
 _TIMM = "timm vision trunk (timm is not installed in this environment)"
-_EVA02 = ("timm EVA02 trunk (rope + SwiGLU + sub-LN): no in-environment "
-          "oracle exists to validate a from-scratch port (timm absent, no "
-          "weights, zero egress); EVA01 ships natively — see EVA_TRUNKS")
 GATED_CONFIGS: Dict[str, str] = {
-    "EVA02-B-16": _EVA02, "EVA02-E-14": _EVA02, "EVA02-E-14-plus": _EVA02,
-    "EVA02-L-14": _EVA02, "EVA02-L-14-336": _EVA02,
     "swin_base_patch4_window7_224": _TIMM,
     "vit_medium_patch16_gap_256": _TIMM,
     "vit_relpos_medium_patch16_cls_224": _TIMM,

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from latteclip_tpu.core.config import (
     CLIPConfig,
     ConvNeXtVisionConfig,
+    Eva02VisionConfig,
     ResNetVisionConfig,
     get_model_config,
 )
@@ -38,6 +39,10 @@ def init_clip_params(rng: jax.Array, cfg: CLIPConfig) -> Params:
         from latteclip_tpu.models import convnext as convnext_mod
 
         visual = convnext_mod.init_convnext_params(kv, cfg.vision, cfg.embed_dim)
+    elif isinstance(cfg.vision, Eva02VisionConfig):
+        from latteclip_tpu.models import eva02 as eva02_mod
+
+        visual = eva02_mod.init_eva02_params(kv, cfg.vision, cfg.embed_dim)
     else:
         visual = vit_mod.init_vit_params(kv, cfg.vision, cfg.embed_dim)
     from latteclip_tpu.models.hf_text import HFTextConfig, init_hf_text_params
@@ -80,6 +85,13 @@ def encode_image(
         from latteclip_tpu.models import convnext as convnext_mod
 
         feats = convnext_mod.convnext_forward(
+            params["visual"], cfg.vision, images,
+            dtype=_dtype(cfg), remat=remat, train=train, rng=rng,
+        )
+    elif isinstance(cfg.vision, Eva02VisionConfig):
+        from latteclip_tpu.models import eva02 as eva02_mod
+
+        feats = eva02_mod.eva02_forward(
             params["visual"], cfg.vision, images,
             dtype=_dtype(cfg), remat=remat, train=train, rng=rng,
         )
