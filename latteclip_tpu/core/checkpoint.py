@@ -431,6 +431,187 @@ def _eva02_visual_to_sd(v: Dict[str, Any], cfg) -> Dict[str, np.ndarray]:
     return sd
 
 
+def _timm_vit_visual_from_sd(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """timm plain-ViT trunk keys (``visual.trunk.*``; standard fused qkv
+    with full bias, fc_norm after pooling, no class token for gap models) +
+    the TimmModel head Linear (``visual.head.proj.weight``, unbiased —
+    reference timm_model.py:104-106) -> native ViT pytree."""
+
+    def f32(key):
+        return np.asarray(sd[key], np.float32)
+
+    P = cfg.patch_size
+    conv = f32("visual.trunk.patch_embed.proj.weight")
+    D = conv.shape[0]
+    per = {k: [] for k in ("ln_1_scale", "ln_1_bias", "in_proj_w", "in_proj_b",
+                           "out_proj_w", "out_proj_b", "ln_2_scale", "ln_2_bias",
+                           "c_fc_w", "c_fc_b", "c_proj_w", "c_proj_b")}
+    for i in range(cfg.layers):
+        pre = f"visual.trunk.blocks.{i}"
+        per["ln_1_scale"].append(f32(f"{pre}.norm1.weight"))
+        per["ln_1_bias"].append(f32(f"{pre}.norm1.bias"))
+        per["in_proj_w"].append(f32(f"{pre}.attn.qkv.weight").T)
+        per["in_proj_b"].append(f32(f"{pre}.attn.qkv.bias"))
+        per["out_proj_w"].append(f32(f"{pre}.attn.proj.weight").T)
+        per["out_proj_b"].append(f32(f"{pre}.attn.proj.bias"))
+        per["ln_2_scale"].append(f32(f"{pre}.norm2.weight"))
+        per["ln_2_bias"].append(f32(f"{pre}.norm2.bias"))
+        per["c_fc_w"].append(f32(f"{pre}.mlp.fc1.weight").T)
+        per["c_fc_b"].append(f32(f"{pre}.mlp.fc1.bias"))
+        per["c_proj_w"].append(f32(f"{pre}.mlp.fc2.weight").T)
+        per["c_proj_b"].append(f32(f"{pre}.mlp.fc2.bias"))
+    pos = resize_vision_pos_embed(
+        f32("visual.trunk.pos_embed").reshape(-1, D), cfg.seq_len,
+        cls_token=not cfg.no_cls_token)
+    return {
+        "patch_kernel": conv.transpose(2, 3, 1, 0).reshape(P * P * 3, D),
+        "patch_bias": f32("visual.trunk.patch_embed.proj.bias"),
+        "pos_embed": pos,
+        "ln_pre_scale": np.ones(D, np.float32),   # no pre-LN in the trunk
+        "ln_pre_bias": np.zeros(D, np.float32),
+        "blocks": {k: np.stack(v) for k, v in per.items()},
+        "ln_post_scale": f32("visual.trunk.fc_norm.weight"),
+        "ln_post_bias": f32("visual.trunk.fc_norm.bias"),
+        "proj": f32("visual.head.proj.weight").T.copy(),
+    }
+
+
+def _timm_vit_visual_to_sd(v: Dict[str, Any], cfg) -> Dict[str, np.ndarray]:
+    def t(w):
+        return np.ascontiguousarray(np.asarray(w, np.float32).T)
+
+    P, D = cfg.patch_size, cfg.width
+    conv = np.asarray(v["patch_kernel"], np.float32).reshape(P, P, 3, D).transpose(3, 2, 0, 1)
+    sd: Dict[str, np.ndarray] = {
+        "visual.trunk.patch_embed.proj.weight": np.ascontiguousarray(conv),
+        "visual.trunk.patch_embed.proj.bias": np.asarray(v["patch_bias"], np.float32),
+        "visual.trunk.pos_embed": np.asarray(v["pos_embed"], np.float32)[None],
+        "visual.trunk.fc_norm.weight": np.asarray(v["ln_post_scale"], np.float32),
+        "visual.trunk.fc_norm.bias": np.asarray(v["ln_post_bias"], np.float32),
+        "visual.head.proj.weight": t(v["proj"]),
+    }
+    b = v["blocks"]
+    for i in range(np.asarray(b["ln_1_scale"]).shape[0]):
+        pre = f"visual.trunk.blocks.{i}"
+        sd[f"{pre}.norm1.weight"] = np.asarray(b["ln_1_scale"][i], np.float32)
+        sd[f"{pre}.norm1.bias"] = np.asarray(b["ln_1_bias"][i], np.float32)
+        sd[f"{pre}.attn.qkv.weight"] = t(b["in_proj_w"][i])
+        sd[f"{pre}.attn.qkv.bias"] = np.asarray(b["in_proj_b"][i], np.float32)
+        sd[f"{pre}.attn.proj.weight"] = t(b["out_proj_w"][i])
+        sd[f"{pre}.attn.proj.bias"] = np.asarray(b["out_proj_b"][i], np.float32)
+        sd[f"{pre}.norm2.weight"] = np.asarray(b["ln_2_scale"][i], np.float32)
+        sd[f"{pre}.norm2.bias"] = np.asarray(b["ln_2_bias"][i], np.float32)
+        sd[f"{pre}.mlp.fc1.weight"] = t(b["c_fc_w"][i])
+        sd[f"{pre}.mlp.fc1.bias"] = np.asarray(b["c_fc_b"][i], np.float32)
+        sd[f"{pre}.mlp.fc2.weight"] = t(b["c_proj_w"][i])
+        sd[f"{pre}.mlp.fc2.bias"] = np.asarray(b["c_proj_b"][i], np.float32)
+    return sd
+
+
+def _swin_visual_from_sd(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """timm swin keys (``visual.trunk.layers.{s}.blocks.{b}.*``) -> pytree.
+
+    Accepts BOTH downsample placements: timm's modern stage-input layout
+    (``layers.{s}.downsample`` for s >= 1) and the original MSRA
+    end-of-stage layout (``layers.{s-1}.downsample``) — the computation
+    sequence is identical. ``relative_position_index`` buffers are derived,
+    not loaded."""
+    from latteclip_tpu.models.swin import SWIN_TRUNKS
+
+    def f32(key):
+        return np.asarray(sd[key], np.float32)
+
+    t = SWIN_TRUNKS[cfg.trunk]
+    P = t["patch_size"]
+    conv = f32("visual.trunk.patch_embed.proj.weight")
+    D0 = conv.shape[0]
+    stages = []
+    for si, depth in enumerate(t["depths"]):
+        stage: Dict[str, Any] = {}
+        if si > 0:
+            base = f"visual.trunk.layers.{si}.downsample"
+            if f"{base}.norm.weight" not in sd:  # MSRA end-of-stage layout
+                base = f"visual.trunk.layers.{si - 1}.downsample"
+            stage["merge"] = {
+                "norm_scale": f32(f"{base}.norm.weight"),
+                "norm_bias": f32(f"{base}.norm.bias"),
+                "reduction_w": f32(f"{base}.reduction.weight").T,
+            }
+        blocks = []
+        for bi in range(depth):
+            pre = f"visual.trunk.layers.{si}.blocks.{bi}"
+            blocks.append({
+                "ln_1_scale": f32(f"{pre}.norm1.weight"),
+                "ln_1_bias": f32(f"{pre}.norm1.bias"),
+                "in_proj_w": f32(f"{pre}.attn.qkv.weight").T,
+                "in_proj_b": f32(f"{pre}.attn.qkv.bias"),
+                "bias_table": f32(f"{pre}.attn.relative_position_bias_table"),
+                "out_proj_w": f32(f"{pre}.attn.proj.weight").T,
+                "out_proj_b": f32(f"{pre}.attn.proj.bias"),
+                "ln_2_scale": f32(f"{pre}.norm2.weight"),
+                "ln_2_bias": f32(f"{pre}.norm2.bias"),
+                "c_fc_w": f32(f"{pre}.mlp.fc1.weight").T,
+                "c_fc_b": f32(f"{pre}.mlp.fc1.bias"),
+                "c_proj_w": f32(f"{pre}.mlp.fc2.weight").T,
+                "c_proj_b": f32(f"{pre}.mlp.fc2.bias"),
+            })
+        stage["blocks"] = blocks
+        stages.append(stage)
+    return {
+        "patch_kernel": conv.transpose(2, 3, 1, 0).reshape(P * P * 3, D0),
+        "patch_bias": f32("visual.trunk.patch_embed.proj.bias"),
+        "patch_norm_scale": f32("visual.trunk.patch_embed.norm.weight"),
+        "patch_norm_bias": f32("visual.trunk.patch_embed.norm.bias"),
+        "stages": stages,
+        "norm_scale": f32("visual.trunk.norm.weight"),
+        "norm_bias": f32("visual.trunk.norm.bias"),
+        "proj": f32("visual.head.proj.weight").T.copy(),
+    }
+
+
+def _swin_visual_to_sd(v: Dict[str, Any], cfg) -> Dict[str, np.ndarray]:
+    from latteclip_tpu.models.swin import SWIN_TRUNKS
+
+    def t_(w):
+        return np.ascontiguousarray(np.asarray(w, np.float32).T)
+
+    t = SWIN_TRUNKS[cfg.trunk]
+    P = t["patch_size"]
+    D0 = np.asarray(v["patch_norm_scale"]).shape[0]
+    conv = np.asarray(v["patch_kernel"], np.float32).reshape(P, P, 3, D0).transpose(3, 2, 0, 1)
+    sd: Dict[str, np.ndarray] = {
+        "visual.trunk.patch_embed.proj.weight": np.ascontiguousarray(conv),
+        "visual.trunk.patch_embed.proj.bias": np.asarray(v["patch_bias"], np.float32),
+        "visual.trunk.patch_embed.norm.weight": np.asarray(v["patch_norm_scale"], np.float32),
+        "visual.trunk.patch_embed.norm.bias": np.asarray(v["patch_norm_bias"], np.float32),
+        "visual.trunk.norm.weight": np.asarray(v["norm_scale"], np.float32),
+        "visual.trunk.norm.bias": np.asarray(v["norm_bias"], np.float32),
+        "visual.head.proj.weight": t_(v["proj"]),
+    }
+    for si, stage in enumerate(v["stages"]):
+        if "merge" in stage:
+            base = f"visual.trunk.layers.{si}.downsample"
+            sd[f"{base}.norm.weight"] = np.asarray(stage["merge"]["norm_scale"], np.float32)
+            sd[f"{base}.norm.bias"] = np.asarray(stage["merge"]["norm_bias"], np.float32)
+            sd[f"{base}.reduction.weight"] = t_(stage["merge"]["reduction_w"])
+        for bi, b in enumerate(stage["blocks"]):
+            pre = f"visual.trunk.layers.{si}.blocks.{bi}"
+            sd[f"{pre}.norm1.weight"] = np.asarray(b["ln_1_scale"], np.float32)
+            sd[f"{pre}.norm1.bias"] = np.asarray(b["ln_1_bias"], np.float32)
+            sd[f"{pre}.attn.qkv.weight"] = t_(b["in_proj_w"])
+            sd[f"{pre}.attn.qkv.bias"] = np.asarray(b["in_proj_b"], np.float32)
+            sd[f"{pre}.attn.relative_position_bias_table"] = np.asarray(b["bias_table"], np.float32)
+            sd[f"{pre}.attn.proj.weight"] = t_(b["out_proj_w"])
+            sd[f"{pre}.attn.proj.bias"] = np.asarray(b["out_proj_b"], np.float32)
+            sd[f"{pre}.norm2.weight"] = np.asarray(b["ln_2_scale"], np.float32)
+            sd[f"{pre}.norm2.bias"] = np.asarray(b["ln_2_bias"], np.float32)
+            sd[f"{pre}.mlp.fc1.weight"] = t_(b["c_fc_w"])
+            sd[f"{pre}.mlp.fc1.bias"] = np.asarray(b["c_fc_b"], np.float32)
+            sd[f"{pre}.mlp.fc2.weight"] = t_(b["c_proj_w"])
+            sd[f"{pre}.mlp.fc2.bias"] = np.asarray(b["c_proj_b"], np.float32)
+    return sd
+
+
 def _convnext_visual_from_sd(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
     """``visual.trunk.*`` / ``visual.head.*`` ConvNeXt keys (timm layout via
     the reference TimmModel wrapper, timm_model.py:73-108) -> convnext
@@ -653,13 +834,23 @@ def pt_state_dict_to_params(
 
     from latteclip_tpu.core.config import Eva02VisionConfig
 
-    eva = getattr(cfg.vision, "timm_trunk", "").startswith("eva")
+    trunk = getattr(cfg.vision, "timm_trunk", "")
+    eva = trunk.startswith("eva")
+    timm_vit = bool(trunk) and not eva
     eva2 = isinstance(cfg.vision, Eva02VisionConfig)
-    if isinstance(cfg.vision, (ResNetVisionConfig, ConvNeXtVisionConfig)) or eva or eva2:
-        if eva2:
+    from latteclip_tpu.core.config import SwinVisionConfig
+
+    swin = isinstance(cfg.vision, SwinVisionConfig)
+    if (isinstance(cfg.vision, (ResNetVisionConfig, ConvNeXtVisionConfig))
+            or eva or eva2 or timm_vit or swin):
+        if swin:
+            visual = _swin_visual_from_sd(sd, cfg.vision)
+        elif eva2:
             visual = _eva02_visual_from_sd(sd, cfg.vision)
         elif eva:
             visual = _eva_visual_from_sd(sd, cfg.vision)
+        elif timm_vit:
+            visual = _timm_vit_visual_from_sd(sd, cfg.vision)
         elif isinstance(cfg.vision, ConvNeXtVisionConfig):
             visual = _convnext_visual_from_sd(sd, cfg.vision)
         else:
@@ -770,13 +961,23 @@ def params_to_pt_state_dict(
 
     from latteclip_tpu.core.config import Eva02VisionConfig
 
-    eva = getattr(cfg.vision, "timm_trunk", "").startswith("eva")
+    trunk = getattr(cfg.vision, "timm_trunk", "")
+    eva = trunk.startswith("eva")
+    timm_vit = bool(trunk) and not eva
     eva2 = isinstance(cfg.vision, Eva02VisionConfig)
-    if isinstance(cfg.vision, (ResNetVisionConfig, ConvNeXtVisionConfig)) or eva or eva2:
-        if eva2:
+    from latteclip_tpu.core.config import SwinVisionConfig
+
+    swin = isinstance(cfg.vision, SwinVisionConfig)
+    if (isinstance(cfg.vision, (ResNetVisionConfig, ConvNeXtVisionConfig))
+            or eva or eva2 or timm_vit or swin):
+        if swin:
+            sd = _swin_visual_to_sd(v, cfg.vision)
+        elif eva2:
             sd = _eva02_visual_to_sd(v, cfg.vision)
         elif eva:
             sd = _eva_visual_to_sd(v, cfg.vision)
+        elif timm_vit:
+            sd = _timm_vit_visual_to_sd(v, cfg.vision)
         elif isinstance(cfg.vision, ConvNeXtVisionConfig):
             sd = _convnext_visual_to_sd(v, cfg.vision)
         else:

@@ -144,6 +144,24 @@ class Eva02VisionConfig:
         return self.grid * self.grid + 1
 
 
+@dataclasses.dataclass(frozen=True)
+class SwinVisionConfig:
+    """Swin Transformer trunk (reference reaches it via timm
+    ``swin_base_patch4_window7_224``; native implementation in
+    models/swin.py — windowed attention with static reshapes)."""
+
+    trunk: str = "swin_base_patch4_window7_224"
+    image_size: int = 224
+    ln_eps: float = 1e-5
+
+    @property
+    def embed_width(self) -> int:
+        from latteclip_tpu.models.swin import SWIN_TRUNKS
+
+        t = SWIN_TRUNKS[self.trunk]
+        return t["embed_dim"] * 2 ** (len(t["depths"]) - 1)
+
+
 # Published EVA02-CLIP trunk shapes (EVA-02 arXiv 2303.11331 Table 2;
 # EVA-CLIP arXiv 2303.15389 Table 1). The enormous tower is EVA-CLIP's
 # pre-TrV giant: plain MLP, no rope, post-norm.
@@ -241,6 +259,19 @@ EVA_TRUNKS: Dict[str, Dict[str, Any]] = {
     ),
 }
 
+# timm plain-ViT trunks expressible on the native tower (timm
+# vision_transformer.py published shapes). vit_medium_gap: no class token,
+# global average pool, fc_norm (LN after pooling), no pre-LN; reached via
+# TimmModel with pool='' + proj='linear' (reference timm_model.py:57-108 —
+# trunk classifier reset, separate unbiased head Linear to embed_dim).
+TIMM_VIT_TRUNKS: Dict[str, Dict[str, Any]] = {
+    "vit_medium_patch16_gap_256": dict(
+        width=512, layers=12, head_width=64, mlp_ratio=4.0, patch_size=16,
+        no_cls_token=True, pool_type="avg", final_ln_after_pool=True,
+        no_ln_pre=True, ln_eps=1e-6,
+    ),
+}
+
 
 def config_from_dict(name: str, raw: Dict[str, Any]) -> CLIPConfig:
     quick_gelu = bool(raw.get("quick_gelu", False)) or name.endswith("-quickgelu")
@@ -268,6 +299,19 @@ def config_from_dict(name: str, raw: Dict[str, Any]) -> CLIPConfig:
             trunk=timm_name,
             image_size=int(vision_raw.get("image_size", 224)),
             **EVA02_TRUNKS[timm_name],
+        )
+    elif timm_name is not None and timm_name.startswith("swin"):
+        from latteclip_tpu.models.swin import SWIN_TRUNKS
+
+        if timm_name not in SWIN_TRUNKS:
+            raise ValueError(f"unknown swin trunk '{timm_name}'")
+        vision = SwinVisionConfig(
+            trunk=timm_name, image_size=int(vision_raw.get("image_size", 224)))
+    elif timm_name in TIMM_VIT_TRUNKS:
+        vision = VisionConfig(
+            image_size=int(vision_raw.get("image_size", 224)),
+            timm_trunk=timm_name,
+            **TIMM_VIT_TRUNKS[timm_name],
         )
     elif timm_name is not None:
         from latteclip_tpu.models.convnext import CONVNEXT_TRUNKS
@@ -346,11 +390,13 @@ def config_from_dict(name: str, raw: Dict[str, Any]) -> CLIPConfig:
 # (tests/test_config_registry.py) enforces that every reference config
 # either resolves here or appears in this list — nothing goes missing
 # silently. Re-check the gates each round (e.g. if timm lands in the image).
-_TIMM = "timm vision trunk (timm is not installed in this environment)"
 GATED_CONFIGS: Dict[str, str] = {
-    "swin_base_patch4_window7_224": _TIMM,
-    "vit_medium_patch16_gap_256": _TIMM,
-    "vit_relpos_medium_patch16_cls_224": _TIMM,
+    "vit_relpos_medium_patch16_cls_224": (
+        "timm-ONLY experimental trunk (VisionTransformerRelPos, rel-pos-MLP "
+        "bias): unlike EVA02/swin there is no published paper specifying it "
+        "— with timm absent, no weights, and zero egress there is nothing "
+        "authoritative to implement from; a guessed port would silently "
+        "mis-load real timm checkpoints"),
 }
 
 

@@ -21,6 +21,7 @@ from latteclip_tpu.core.config import (
     ConvNeXtVisionConfig,
     Eva02VisionConfig,
     ResNetVisionConfig,
+    SwinVisionConfig,
     get_model_config,
 )
 from latteclip_tpu.models import text as text_mod
@@ -43,6 +44,10 @@ def init_clip_params(rng: jax.Array, cfg: CLIPConfig) -> Params:
         from latteclip_tpu.models import eva02 as eva02_mod
 
         visual = eva02_mod.init_eva02_params(kv, cfg.vision, cfg.embed_dim)
+    elif isinstance(cfg.vision, SwinVisionConfig):
+        from latteclip_tpu.models import swin as swin_mod
+
+        visual = swin_mod.init_swin_params(kv, cfg.vision, cfg.embed_dim)
     else:
         visual = vit_mod.init_vit_params(kv, cfg.vision, cfg.embed_dim)
     from latteclip_tpu.models.hf_text import HFTextConfig, init_hf_text_params
@@ -92,6 +97,13 @@ def encode_image(
         from latteclip_tpu.models import eva02 as eva02_mod
 
         feats = eva02_mod.eva02_forward(
+            params["visual"], cfg.vision, images,
+            dtype=_dtype(cfg), remat=remat, train=train, rng=rng,
+        )
+    elif isinstance(cfg.vision, SwinVisionConfig):
+        from latteclip_tpu.models import swin as swin_mod
+
+        feats = swin_mod.swin_forward(
             params["visual"], cfg.vision, images,
             dtype=_dtype(cfg), remat=remat, train=train, rng=rng,
         )

@@ -74,9 +74,13 @@ def init_vit_params(rng: jax.Array, cfg: VisionConfig, embed_dim: int) -> Params
         # SigLIP-style models (MAP pooling, width == embed_dim) have no
         # final projection (reference big_vision.py:131: head is the pool)
         params["proj"] = jax.random.normal(next(k), (pool_dim, embed_dim)) * scale
-    if cfg.timm_trunk:  # timm Eva: biased patch conv + biased head proj
+    if cfg.timm_trunk:  # timm trunks: biased patch conv; Eva also has a
+        # biased head proj (trunk classifier); plain-ViT trunks reach
+        # embed_dim through TimmModel's separate UNBIASED head Linear
+        # (reference timm_model.py:104-106, proj_bias=False default)
         params["patch_bias"] = jnp.zeros((D,))
-        params["proj_b"] = jnp.zeros((embed_dim,))
+        if cfg.timm_trunk.startswith("eva"):
+            params["proj_b"] = jnp.zeros((embed_dim,))
     if cfg.attentional_pool:
         params["attn_pool"] = init_attn_pool_params(
             next(k), embed_dim, D, cfg.attn_pooler_queries
