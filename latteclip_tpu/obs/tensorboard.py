@@ -206,7 +206,47 @@ class SummaryWriter:
         self._f.close()
 
 
-def make_writers(report_to: str, log_base_path: str, run_name: str, is_master: bool):
+class WandbWriter:
+    """wandb sink with the writer interface the train loop drives
+    (``add_scalar``/``flush``/``close``), mirroring the reference's usage:
+    ``wandb.init(project, name, id, notes, tags=[], resume, config)``
+    (main.py:444-453) and one ``wandb.log(log_data, step=step)`` per logged
+    step (train.py:626-629) — scalars are batched per step and emitted at
+    ``flush`` so each step produces a single log call like the reference's
+    dict logging."""
+
+    def __init__(self, project: str, run_name: str, notes: str = "",
+                 resume=None, config: dict = None):
+        import wandb
+
+        self._wandb = wandb
+        wandb.init(
+            project=project,
+            name=run_name,
+            id=run_name,
+            notes=notes,
+            tags=[],
+            resume=resume,
+            config=dict(config or {}),
+        )
+        self._pending: dict = {}
+
+    def add_scalar(self, name: str, value: float, step: int) -> None:
+        self._pending.setdefault(int(step), {})[name] = float(value)
+
+    def flush(self) -> None:
+        for step in sorted(self._pending):
+            self._wandb.log(self._pending[step], step=step)
+        self._pending.clear()
+
+    def close(self) -> None:
+        self.flush()
+        self._wandb.finish()
+
+
+def make_writers(report_to: str, log_base_path: str, run_name: str, is_master: bool,
+                 wandb_project: str = "open-clip", wandb_notes: str = "",
+                 wandb_resume=None, config: dict = None):
     """Build the reporting sinks the reference supports (main.py:434-457).
 
     ``report_to`` is a comma-separated subset of {"tensorboard", "wandb"}.
@@ -223,15 +263,14 @@ def make_writers(report_to: str, log_base_path: str, run_name: str, is_master: b
             try:
                 import wandb  # noqa: F401
             except ImportError as e:
+                # the reference's `assert wandb is not None, 'Please install
+                # wandb.'` failure mode (main.py:438)
                 raise ImportError(
                     "wandb requested via --report-to but not installed"
                 ) from e
-            # even with the package importable, no writer is implemented —
-            # never silently drop the run's telemetry
-            raise NotImplementedError(
-                "--report-to wandb is not implemented in this build; use "
-                "tensorboard (stdlib writer) or results.jsonl"
-            )
+            writers.append(WandbWriter(
+                project=wandb_project, run_name=run_name, notes=wandb_notes,
+                resume=wandb_resume, config=config))
         else:
             raise ValueError(f"unknown --report-to target: {target!r}")
     return writers

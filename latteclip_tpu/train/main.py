@@ -435,7 +435,13 @@ def main(argv=None) -> int:
         )
     from latteclip_tpu.obs.tensorboard import make_writers
 
-    writers = make_writers(args.report_to, args.logs, name, jax.process_index() == 0)
+    writers = make_writers(
+        args.report_to, args.logs, name, jax.process_index() == 0,
+        wandb_project=args.wandb_project_name, wandb_notes=args.wandb_notes,
+        # reference main.py:451: resume='auto' when resuming from latest
+        wandb_resume="auto" if args.resume == "latest" else None,
+        config=vars(args),
+    )
     remote_sync = None
     if args.remote_sync and jax.process_index() == 0:
         from latteclip_tpu.obs.file_sync import RemoteSync

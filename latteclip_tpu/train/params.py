@@ -150,6 +150,10 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "wandb (reference params.py / main.py:434-457); "
                         "tensorboard uses the stdlib event writer in "
                         "obs/tensorboard.py")
+    p.add_argument("--wandb-notes", default="", type=str,
+                   help="Notes if logging with wandb (reference params.py:634)")
+    p.add_argument("--wandb-project-name", type=str, default="open-clip",
+                   help="wandb project name (reference params.py:637-640)")
     p.add_argument("--siglip", action="store_true", default=False,
                    help="train the flyp/flyp_gt path with the SigLIP sigmoid "
                         "loss (reference factory.py:337-341, loss.py:365-560)")

@@ -74,3 +74,64 @@ def test_make_writers_dispatch(tmp_path):
         make_writers("wandb", str(tmp_path), "run", True)
     with pytest.raises(ValueError):
         make_writers("nope", str(tmp_path), "run", True)
+
+
+def test_wandb_writer_with_stub_module(tmp_path, monkeypatch):
+    """wandb is absent in this environment, so the writer is driven through
+    an injected stub module asserting the reference's API usage
+    (main.py:444-453 init kwargs; train.py:626-629 one log dict per step)."""
+    import sys
+    import types
+
+    calls = {"log": [], "finish": 0}
+
+    stub = types.ModuleType("wandb")
+
+    def init(**kw):
+        calls["init"] = kw
+
+    stub.init = init
+    stub.log = lambda data, step=None: calls["log"].append((step, dict(data)))
+    stub.finish = lambda: calls.__setitem__("finish", calls["finish"] + 1)
+    monkeypatch.setitem(sys.modules, "wandb", stub)
+
+    ws = make_writers(
+        "wandb", str(tmp_path), "myrun", True,
+        wandb_project="proj-x", wandb_notes="n", wandb_resume="auto",
+        config={"lr": 1e-5},
+    )
+    assert len(ws) == 1
+    assert calls["init"] == {
+        "project": "proj-x", "name": "myrun", "id": "myrun", "notes": "n",
+        "tags": [], "resume": "auto", "config": {"lr": 1e-5},
+    }
+    w = ws[0]
+    w.add_scalar("train/loss", 1.5, 3)
+    w.add_scalar("train/lr", 0.1, 3)
+    w.add_scalar("train/loss", 1.2, 4)
+    w.flush()
+    assert calls["log"] == [
+        (3, {"train/loss": 1.5, "train/lr": 0.1}),
+        (4, {"train/loss": 1.2}),
+    ]
+    w.add_scalar("val/top1", 0.9, 5)
+    w.close()
+    assert calls["log"][-1] == (5, {"val/top1": 0.9})
+    assert calls["finish"] == 1
+
+    # non-master stays writer-free; absent module still raises like the
+    # reference's assert
+    assert make_writers("wandb", str(tmp_path), "r", False) == []
+    monkeypatch.delitem(sys.modules, "wandb")
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_wandb(name, *a, **k):
+        if name == "wandb":
+            raise ImportError("nope")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_wandb)
+    with pytest.raises(ImportError):
+        make_writers("wandb", str(tmp_path), "r", True)
