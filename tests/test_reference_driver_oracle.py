@@ -306,6 +306,96 @@ def test_real_flyp_trainer_trajectory(use_gt):
 
 
 # ---------------------------------------------------------------------------
+# Pseudo-label extraction: the reference's REAL extract_features
+# ---------------------------------------------------------------------------
+
+
+def test_real_extract_features_pkl_parity(tmp_path):
+    """Drives the reference's real ``extract_features``
+    (``/root/reference/src/training/train.py:1310-1382`` — the producer of
+    ``clip_features_<split>.pkl``, the join key of the whole pipeline)
+    against ``eval/features.py`` on the same flat dataset and weights, and
+    compares the pickles record by record."""
+    import pickle
+
+    oc, ref_train = _load_reference_trainer()
+
+    from latteclip_tpu.data.eval_dataset import FlatFileDataset
+    from latteclip_tpu.data.synthetic import make_flat_dataset
+    from latteclip_tpu.data import transforms as T
+    from latteclip_tpu.eval.features import extract_features
+
+    root = str(tmp_path / "ds")
+    make_flat_dataset(root, num_train=14, num_val=4,
+                      classes=EVAL_CLASSES, image_size=32)
+    ds = FlatFileDataset(root, train=True, image_size=32, dataset_name="dtd")
+
+    tok = get_tokenizer()
+    params = init_clip_params(jax.random.PRNGKey(9), CFG)
+
+    ours_dir = str(tmp_path / "ours")
+    extract_features(params, CFG, tok, ds, ours_dir, "train", batch_size=5)
+    with open(f"{ours_dir}/clip_features_train.pkl", "rb") as f:
+        ours = pickle.load(f)
+
+    # --- reference side ----------------------------------------------------
+    ref_clip = oc.model.CLIP(
+        embed_dim=CFG.embed_dim,
+        vision_cfg={"image_size": 32, "layers": 2, "width": 64, "patch_size": 16},
+        text_cfg={"context_length": 77, "vocab_size": 49408, "width": 64,
+                  "heads": 4, "layers": 2},
+    )
+    sd = {k: torch.from_numpy(v) for k, v in
+          params_to_pt_state_dict(params, CFG).items()}
+    missing, unexpected = ref_clip.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    model = oc.model.CustomCLIP(ref_clip, ds.display_class_names, oc.tokenize)
+
+    ids, imgs, labels = [], [], []
+    for i in range(len(ds)):
+        image_id, arr, label = ds.load_sample(i)
+        ids.append(image_id)
+        imgs.append(arr)
+        labels.append(label)
+    norm = np.asarray(T.normalize_images(
+        np.stack(imgs), *T.model_mean_std(CFG)))
+    loader = [(
+        ids,
+        torch.from_numpy(norm.transpose(0, 3, 1, 2)).contiguous(),
+        torch.tensor(labels),
+    )]
+    data = {
+        "dtd-train-zero-shot-classification": types.SimpleNamespace(
+            dataloader=loader, class_names=ds.display_class_names,
+            templates=ds.templates),
+    }
+    args = _reference_args()
+    args.extract_features_path = str(tmp_path / "ref")
+    args.val_num_samples = len(ds)
+    # the reference times the loop with unconditional torch.cuda.synchronize
+    # (train.py:1350,1354) — a no-op stand-in on this CPU-only torch build
+    orig_sync = torch.cuda.synchronize
+    torch.cuda.synchronize = lambda *a, **k: None
+    try:
+        ref_train.extract_features(model, data, 0, args, tokenizer=oc.tokenize)
+    finally:
+        torch.cuda.synchronize = orig_sync
+    with open(f"{tmp_path}/ref/clip_features_train.pkl", "rb") as f:
+        theirs = pickle.load(f)
+
+    assert set(ours) == set(theirs) == set(ids)
+    for image_id in ids:
+        a, b = ours[image_id], theirs[image_id]
+        np.testing.assert_allclose(a["image"], b["image"], atol=2e-5,
+                                   err_msg=image_id)
+        np.testing.assert_allclose(a["top_logit"], b["top_logit"], atol=2e-3)
+        np.testing.assert_array_equal(a["top_class_ids"], b["top_class_ids"])
+        assert a["class_names"] == b["class_names"]
+        assert a["gt_classname"] == b["gt_classname"]
+        assert a["gt_class_id"] == b["gt_class_id"]
+
+
+# ---------------------------------------------------------------------------
 # Two epochs + live cosine schedule + end-state zero-shot eval A/B
 # ---------------------------------------------------------------------------
 
