@@ -77,6 +77,86 @@ def load_caption_tokens(
     return out
 
 
+def _max_context(arrs, eot_id: int) -> int:
+    """max(eot position) + 1 over int32 [.., ctx] token arrays."""
+    best = 0
+    for a in arrs:
+        if a is None or a.size == 0:
+            continue
+        best = max(best, int(np.argmax(np.atleast_2d(a) == eot_id, axis=-1).max()) + 1)
+    return best
+
+
+def _truncate_tokens(a: np.ndarray, cap: int, eot_id: int) -> np.ndarray:
+    """Slice token rows to ``cap`` columns with the tokenizer's forced-EOT
+    truncation rule (reference tokenizer.py:254-256) for any row whose EOT
+    lies beyond the cap."""
+    out = np.ascontiguousarray(np.atleast_2d(a)[:, :cap]).copy()
+    lost = ~(out == eot_id).any(axis=-1)
+    out[lost, -1] = eot_id
+    return out.reshape(a.shape[:-1] + (cap,)), int(lost.sum())
+
+
+def apply_context_cap(
+    data: "LatteCLIPTrainData",
+    cap,
+    eot_id: int,
+    template_table: Optional[np.ndarray] = None,
+):
+    """Cap every pre-tokenized text to a shorter static context length.
+
+    EXACT-SEMANTICS optimization: CLIP text features are read at the EOT
+    position of a causally-masked tower, so positions past the longest EOT
+    are invisible to every output — truncating them changes nothing but the
+    (quadratic-in-ctx attention + linear GEMM) compute. ``cap='auto'``
+    computes the dataset maximum from the already-loaded token tables and
+    rounds up to a multiple of 8 (sublane-friendly); an int cap below the
+    dataset max falls back to the tokenizer's own forced-EOT truncation
+    rule for the overlong rows (logged — that is the only case where
+    results can differ from the uncapped run). The reference always
+    computes the full 77 columns (tokenizer.py:23); cap=0/None disables.
+
+    Returns ``(data, template_table, effective_cap, truncated_rows)``.
+    """
+    all_arrs = [t for d in data.per_image_tokens for t in d.values()]
+    all_arrs += list(data.group_tokens.values())
+    if data.gt_text_tokens is not None:
+        all_arrs.append(data.gt_text_tokens)
+    if template_table is not None:
+        all_arrs.append(np.asarray(template_table))
+    full = max((a.shape[-1] for a in all_arrs), default=77)
+    needed = _max_context(all_arrs, eot_id)
+    if cap in (None, 0, "0", ""):
+        return data, template_table, full, 0
+    effective = needed if cap == "auto" else int(cap)
+    effective = min(full, max(16, -(-effective // 8) * 8))
+
+    truncated = 0
+
+    def cap_dict(d):
+        nonlocal truncated
+        out = {}
+        for k, v in d.items():
+            out[k], lost = _truncate_tokens(v, effective, eot_id)
+            truncated += lost
+        return out
+
+    data = dataclasses.replace(
+        data,
+        per_image_tokens=[cap_dict(d) for d in data.per_image_tokens],
+        group_tokens=cap_dict(data.group_tokens),
+    )
+    if data.gt_text_tokens is not None:
+        gt, lost = _truncate_tokens(data.gt_text_tokens, effective, eot_id)
+        truncated += lost
+        data = dataclasses.replace(data, gt_text_tokens=gt)
+    if template_table is not None:
+        template_table, lost = _truncate_tokens(
+            np.asarray(template_table), effective, eot_id)
+        truncated += lost
+    return data, template_table, effective, truncated
+
+
 @dataclasses.dataclass
 class LatteCLIPTrainData:
     """Join tables + shard list for the unsupervised fine-tune pipeline."""

@@ -269,6 +269,16 @@ def main(argv=None) -> int:
 
     data = build_train_data(train_shards, clip_pred, caption_dirs, common_dirs,
                             classnames, tokenizer)
+    context_cap_table = None
+    if args.text_context_cap:
+        from latteclip_tpu.data.pipeline import apply_context_cap
+
+        table0 = build_template_table(tokenizer, classnames, templates)
+        data, context_cap_table, eff, truncated = apply_context_cap(
+            data, args.text_context_cap, tokenizer.eot_token_id, table0)
+        logging.info(
+            "text context cap: %s -> %d columns (%d caption rows truncated "
+            "with forced EOT)", args.text_context_cap, eff, truncated)
 
     # ---- fusion-weight analysis mode (reference main.py:467-468) ------------
     if args.extract_group_weight_path:
@@ -333,6 +343,8 @@ def main(argv=None) -> int:
         fuse_text_fwd=args.fuse_text_forward,
     )
     table = build_template_table(tokenizer, classnames, templates)
+    if context_cap_table is not None:
+        table = context_cap_table
     if args.method == "ours":
         if args.siglip:
             raise SystemExit("--siglip applies to the contrastive baseline "

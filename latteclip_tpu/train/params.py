@@ -150,6 +150,15 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "wandb (reference params.py / main.py:434-457); "
                         "tensorboard uses the stdlib event writer in "
                         "obs/tensorboard.py")
+    p.add_argument("--text-context-cap", type=str, default="",
+                   help="cap caption/template text encodes to a shorter "
+                        "static context ('auto' = dataset max EOT rounded to "
+                        "a multiple of 8, or an int; default off = the "
+                        "reference's full 77 columns). EXACT when every text "
+                        "fits: causal masking + EOT pooling make positions "
+                        "past the longest EOT invisible — only the wasted "
+                        "attention/GEMM columns are removed (TPU-native "
+                        "optimization, no reference counterpart)")
     p.add_argument("--wandb-notes", default="", type=str,
                    help="Notes if logging with wandb (reference params.py:634)")
     p.add_argument("--wandb-project-name", type=str, default="open-clip",
