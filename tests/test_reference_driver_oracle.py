@@ -222,6 +222,98 @@ def test_real_train_one_epoch_v2_trajectory():
         np.testing.assert_allclose(v, ref_sd[key], rtol=0, atol=2e-3, err_msg=key)
 
 
+def test_real_v2_trajectory_with_context_cap():
+    """--text-context-cap exactness, proven against the REAL reference:
+    OUR side trains with caption/template tokens capped to the batch max
+    EOT (rounded to 8), the reference trains on the same captions at the
+    full 77 columns — losses, bank, and params must still match. This is
+    the end-to-end form of the tower-level exactness test in
+    tests/test_context_cap.py."""
+    oc, ref_train = _load_reference_trainer()
+
+    from latteclip_tpu.data.pipeline import _max_context, _truncate_tokens
+
+    tok = get_tokenizer()
+    params = init_clip_params(jax.random.PRNGKey(42), CFG)
+    bank0 = np.asarray(init_memory_bank(params, CFG, tok, CLASSES, TEMPLATES))
+    table = build_template_table(tok, CLASSES, TEMPLATES)
+    batches = _make_batches(tok, np.random.default_rng(7))
+    norm_images = [np.asarray(T.normalize_images(b["images"])) for b in batches]
+
+    arrs = [b["per_image_tokens"] for b in batches]
+    arrs += [b["per_group_tokens"] for b in batches]
+    cap = -(-_max_context(arrs + [table], tok.eot_token_id) // 8) * 8
+    assert cap < 77  # the fixture captions are short; the cap must bite
+
+    capped_table, lost = _truncate_tokens(table, cap, tok.eot_token_id)
+    assert lost == 0
+    capped_batches = []
+    for b in batches:
+        nb = dict(b)
+        for key in ("per_image_tokens", "per_group_tokens"):
+            nb[key], lost = _truncate_tokens(b[key], cap, tok.eot_token_id)
+            assert lost == 0
+        capped_batches.append(nb)
+
+    opt = optax.sgd(LR)
+    state = create_train_state(params, opt, bank0).start_epoch()
+    step = jax.jit(make_train_step(
+        CFG, opt, LatteHParams(augment=False, bug_compat=True), capped_table))
+    our_losses = []
+    for i, b in enumerate(capped_batches):
+        state, metrics = step(state, b, jax.random.PRNGKey(i))
+        our_losses.append(float(metrics["loss"]))
+
+    # --- reference at the FULL 77 columns -----------------------------------
+    ref_clip = oc.model.CLIP(
+        embed_dim=CFG.embed_dim,
+        vision_cfg={"image_size": 32, "layers": 2, "width": 64, "patch_size": 16},
+        text_cfg={"context_length": 77, "vocab_size": 49408, "width": 64,
+                  "heads": 4, "layers": 2},
+    )
+    sd = {k: torch.from_numpy(v) for k, v in
+          params_to_pt_state_dict(params, CFG).items()}
+    _missing, unexpected = ref_clip.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    model = oc.model.CustomCLIP(ref_clip, CLASSES, oc.tokenize)
+    model.init_memory_bank(CLASSES, TEMPLATES)
+    with torch.no_grad():
+        for i, c in enumerate(CLASSES):
+            model.memory_bank[c].copy_(torch.from_numpy(bank0[i]))
+
+    ref_batches = []
+    for b, img in zip(batches, norm_images):
+        images_t = torch.from_numpy(img.transpose(0, 3, 1, 2)).contiguous()
+        per_img = torch.from_numpy(b["per_image_tokens"].astype(np.int64)).unsqueeze(1)
+        per_grp = torch.from_numpy(b["per_group_tokens"].astype(np.int64)).unsqueeze(1)
+        zs_names = [[CLASSES[int(z)]] for z in b["zs_preds"]]
+        ref_batches.append((
+            images_t, images_t.clone(), per_img.clone(), per_grp.clone(),
+            [""] * B, None, per_img, per_grp, [{} for _ in range(B)], zs_names,
+        ))
+    data = {
+        "train": _StubTrainData(_StubLoader(ref_batches)),
+        "dtd-train-zero-shot-classification": types.SimpleNamespace(
+            class_names=CLASSES, templates=TEMPLATES),
+    }
+    writer = _CaptureWriter()
+    ref_train.train_one_epoch_v2(
+        model, data, oc.ClipLoss(), 0,
+        torch.optim.SGD(model.parameters(), lr=LR, momentum=0.0),
+        None, None, None, _reference_args(), tb_writer=writer,
+    )
+
+    ref_losses = writer.scalars["train/loss"]
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=0, atol=2e-4)
+    ref_bank = np.stack([model.memory_bank[c].detach().numpy() for c in CLASSES])
+    np.testing.assert_allclose(
+        np.asarray(state.memory_bank), ref_bank, rtol=0, atol=5e-4)
+    ours_sd = params_to_pt_state_dict(state.params, CFG)
+    ref_sd = {k: v.detach().numpy() for k, v in ref_clip.state_dict().items()}
+    for key, v in ours_sd.items():
+        np.testing.assert_allclose(v, ref_sd[key], rtol=0, atol=2e-3, err_msg=key)
+
+
 # ---------------------------------------------------------------------------
 # FLYP baseline: the reference's REAL train_one_epoch_original_clip
 # ---------------------------------------------------------------------------
