@@ -379,12 +379,122 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# -- block-diagonal head folding (short L) -----------------------------------
+#
+# At L<=128 the whole-row kernel's per-head dots ([77,64]x[64,77]) are MXU
+# pipeline-LATENCY bound (~210 cycles each incl. drain for ~19 cycles of
+# work; measured: 1.8 TF/s at text shapes, and pre-transposing operands
+# changes nothing — tools/r4_transpose_probe.py). Folding all H heads into
+# ONE dot per row makes the work per launch H^2x bigger: scores for every
+# head come from q_row [L, H*D] x K_bd [H*Lp, H*D] (contract lanes), where
+# K_bd block f holds k's rows for head f at lane block f and ZEROS elsewhere
+# — so cross-head lane products vanish. K_bd/V_bd live in VMEM scratch,
+# zero-initialised ONCE per program; per-g only the diagonal blocks are
+# rewritten (sublane+lane offset copies of the natural layouts, NO
+# transposes). The padded-lane FLOP waste (H x Lp/L) is irrelevant in the
+# latency-bound regime. PV is the mirror: P_fold [L, H*Lp] x V_bd
+# [H*Lp, H*D] (contract P lanes with V_bd sublanes — the MXU-natural form).
+# lse is emitted in the whole-row layout so the UNCHANGED backward kernel
+# consumes the same residuals. Enable with LATTECLIP_ATTN_BLOCKDIAG=1.
+
+def _blockdiag_enabled() -> bool:
+    return _os.environ.get("LATTECLIP_ATTN_BLOCKDIAG", "0") == "1"
+
+
+def _fwd_kernel_bd(qkv_ref, o_ref, lse_ref, kbd_ref, vbd_ref,
+                   *, qscale, H, D, G, Lp, causal, block_len=0):
+    L = qkv_ref.shape[1]
+    HD = H * D
+    bias = _attn_bias(L, causal, block_len)  # [L, L] or None
+    # zero the scratch once per program; per-g writes below only touch the
+    # diagonal blocks, so off-diagonal zeros persist across the g loop
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        kbd_ref[...] = jnp.zeros_like(kbd_ref)
+        vbd_ref[...] = jnp.zeros_like(vbd_ref)
+
+    for g in range(G):
+        for h in range(H):
+            sl = slice(h * D, (h + 1) * D)
+            kbd_ref[h * Lp:h * Lp + L, sl] = qkv_ref[g, :, HD + h * D:HD + (h + 1) * D].astype(jnp.bfloat16)
+            vbd_ref[h * Lp:h * Lp + L, sl] = qkv_ref[g, :, 2 * HD + h * D:2 * HD + (h + 1) * D].astype(jnp.bfloat16)
+        q = qkv_ref[g, :, :HD].astype(jnp.float32)
+        qs = (q * qscale).astype(jnp.bfloat16)                  # [L, HD]
+        s2 = jax.lax.dot_general(
+            qs, kbd_ref[...].astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )                                                       # [L, H*Lp]
+        s2 = s2.reshape(L, H, Lp)
+        # padded key columns j >= L must not survive the softmax
+        col = jax.lax.broadcasted_iota(jnp.int32, (L, H, Lp), 2)
+        s2 = jnp.where(col >= L, NEG_INF, s2)
+        if bias is not None:
+            s2 = s2 + jnp.pad(bias, ((0, 0), (0, Lp - L)))[:, None, :]
+        m2 = jnp.max(s2, axis=-1, keepdims=True)                # [L, H, 1]
+        pb = jnp.exp2(s2 - m2).astype(jnp.bfloat16)
+        l = jnp.sum(pb, axis=-1, keepdims=True, dtype=jnp.float32)
+        # the fold concatenates heads along lanes; normalise per head block
+        ov = jax.lax.dot_general(
+            pb.reshape(L, H * Lp), vbd_ref[...].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )                                                       # [L, HD]
+        inv = (1.0 / l[..., 0])                                 # [L, H]
+        ov = ov.reshape(L, H, D) * inv[..., None]
+        o_ref[g] = ov.reshape(L, HD).astype(o_ref.dtype)
+        lse_ref[g] = (m2[..., 0] + jnp.log2(l[..., 0])).T       # [H, L]
+
+
+def _flash_fwd_bd(qkv, causal: bool, num_heads: int, block_len: int):
+    """Block-diagonal forward; same outputs as the whole-row path."""
+    dtype = qkv.dtype
+    B, L, HD3 = qkv.shape
+    HD = HD3 // 3
+    D = HD // num_heads
+    qscale = (D ** -0.5) * LOG2E
+    Lp = -(-L // 128) * 128
+    G = int(_os.environ.get("LATTECLIP_ATTN_BD_G", "8"))
+    qkv = _pad_rows(qkv, G)
+    Bp = qkv.shape[0]
+    cost = pl.CostEstimate(
+        flops=4 * B * num_heads * L * Lp * D,
+        bytes_accessed=4 * B * L * HD * 2,
+        transcendentals=B * num_heads * L * Lp,
+    )
+    in_tile = pl.BlockSpec((G, L, HD3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel_bd, qscale=qscale, H=num_heads, D=D,
+                          G=G, Lp=Lp, causal=causal, block_len=block_len),
+        grid=(Bp // G,),
+        in_specs=[in_tile],
+        out_specs=[
+            pl.BlockSpec((G, L, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, num_heads, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, L, HD), dtype),
+            jax.ShapeDtypeStruct((Bp, num_heads, L), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((num_heads * Lp, HD), jnp.bfloat16),
+            pltpu.VMEM((num_heads * Lp, HD), jnp.bfloat16),
+        ],
+        cost_estimate=cost,
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(qkv)
+    if Bp != B:
+        o, lse = o[:B], lse[:B]
+    return o, lse
+
+
 def _flash_fwd_impl(qkv, causal: bool, num_heads: int, block_len: int = 0):
     """qkv: [B, L, 3*H*D] packed -> (out [B, L, H*D], lse2 [B, H, L])."""
     dtype = qkv.dtype
     B, L, HD3 = qkv.shape
     HD = HD3 // 3
     D = HD // num_heads
+    if _blockdiag_enabled() and L <= 128 and HD <= 1024:
+        return _flash_fwd_bd(qkv, causal, num_heads, block_len)
     qscale = (D ** -0.5) * LOG2E
     HP = _head_split(num_heads, D)
     cost = pl.CostEstimate(

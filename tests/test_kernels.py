@@ -199,3 +199,31 @@ def test_attn_probs_pin_is_gradient_neutral(monkeypatch):
     np.testing.assert_allclose(float(base_val), float(pin_val), rtol=0, atol=0)
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
                  base_grad, pin_grad)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_blockdiag_fold_matches_wholerow(causal, monkeypatch):
+    """LATTECLIP_ATTN_BLOCKDIAG=1: one folded [L,HD]x[HD,H*Lp] dot per row
+    via block-diagonal K/V scratch must reproduce the whole-row forward,
+    lse, and (through the shared custom-vjp bwd) gradients."""
+    from latteclip_tpu.kernels import attention as A
+
+    rng = np.random.RandomState(1)
+    B, L, H, D = 9, 77, 8, 64  # B=9 exercises the G=8 row padding
+    qkv = jnp.asarray(rng.randn(B, L, 3 * H * D), jnp.float32)
+
+    monkeypatch.setenv("LATTECLIP_ATTN_BLOCKDIAG", "0")
+    ref_o, ref_lse = A._flash_fwd_impl(qkv, causal, H)
+    bd_o, bd_lse = A._flash_fwd_bd(qkv, causal, H, 0)
+    np.testing.assert_allclose(np.asarray(bd_o), np.asarray(ref_o), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(bd_lse), np.asarray(ref_lse), atol=2e-4)
+
+    def loss(qkv):
+        out = A.flash_attention_qkv(qkv.astype(jnp.bfloat16), H, causal)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g_ref = jax.grad(loss)(qkv)
+    monkeypatch.setenv("LATTECLIP_ATTN_BLOCKDIAG", "1")
+    g_bd = jax.grad(loss)(qkv)
+    np.testing.assert_allclose(np.asarray(g_bd), np.asarray(g_ref),
+                               atol=2e-2, rtol=1e-2)

@@ -31,8 +31,11 @@ def build_fixture(root: str, images: int, size: int) -> None:
     make_full_fixture(root, num_train=images, num_val=8, image_size=size)
 
 
-def run_mode(root: str, batch: int, samples: int, ondevice: bool) -> float:
+def run_mode(root: str, batch: int, samples: int, ondevice: bool,
+             context_cap: str = "") -> float:
     name = "odr" if ondevice else "host"
+    if context_cap:
+        name += f"_cap{context_cap}"
     cmd = [
         sys.executable, "-m", "latteclip_tpu.train.main",
         "--train-data", os.path.join(root, "webdataset", "train_tars"),
@@ -55,6 +58,8 @@ def run_mode(root: str, batch: int, samples: int, ondevice: bool) -> float:
     ]
     if ondevice:
         cmd.append("--ondevice-resize")
+    if context_cap:
+        cmd += ["--text-context-cap", context_cap]
     print(f"[{name}] running: epochs=2 bs={batch} samples={samples}", flush=True)
     out = subprocess.run(
         cmd, cwd=REPO, capture_output=True, text=True, timeout=3000
@@ -81,6 +86,9 @@ def main() -> int:
     ap.add_argument("--images", type=int, default=512)
     ap.add_argument("--source-size", type=int, default=448)
     ap.add_argument("--mode", choices=["host", "ondevice", "both"], default="both")
+    ap.add_argument("--text-context-cap", default="",
+                    help="forwarded to the trainer ('auto' or int); the "
+                         "fixture captions are short, so 'auto' is exact")
     args = ap.parse_args()
 
     root = tempfile.mkdtemp(prefix="full_loop_")
@@ -89,9 +97,11 @@ def main() -> int:
 
     results = {}
     if args.mode in ("host", "both"):
-        results["host"] = run_mode(root, args.batch, samples, False)
+        results["host"] = run_mode(root, args.batch, samples, False,
+                                   args.text_context_cap)
     if args.mode in ("ondevice", "both"):
-        results["ondevice"] = run_mode(root, args.batch, samples, True)
+        results["ondevice"] = run_mode(root, args.batch, samples, True,
+                                       args.text_context_cap)
     print("RESULTS", results, flush=True)
     return 0
 
