@@ -431,17 +431,18 @@ def _fwd_kernel_bd(qkv_ref, o_ref, lse_ref, kbd_ref, vbd_ref,
         if bias is not None:
             s2 = s2 + jnp.pad(bias, ((0, 0), (0, Lp - L)))[:, None, :]
         m2 = jnp.max(s2, axis=-1, keepdims=True)                # [L, H, 1]
-        pb = jnp.exp2(s2 - m2).astype(jnp.bfloat16)
-        l = jnp.sum(pb, axis=-1, keepdims=True, dtype=jnp.float32)
-        # the fold concatenates heads along lanes; normalise per head block
+        p = jnp.exp2(s2 - m2)                                   # f32 [L, H, Lp]
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        # normalise BEFORE the PV dot: the [L, H, Lp] view splits lanes at
+        # 128 (supported); splitting the [L, HD] output at 64 lanes per
+        # head is a Mosaic-unsupported shape cast
+        pb = (p / l).astype(jnp.bfloat16)
         ov = jax.lax.dot_general(
             pb.reshape(L, H * Lp), vbd_ref[...].astype(jnp.bfloat16),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )                                                       # [L, HD]
-        inv = (1.0 / l[..., 0])                                 # [L, H]
-        ov = ov.reshape(L, H, D) * inv[..., None]
-        o_ref[g] = ov.reshape(L, HD).astype(o_ref.dtype)
-        lse_ref[g] = (m2[..., 0] + jnp.log2(l[..., 0])).T       # [H, L]
+        o_ref[g] = ov.astype(o_ref.dtype)
+        lse_ref[g] = m2[..., 0] + jnp.log2(l[..., 0])           # [L, H]
 
 
 def _flash_fwd_bd(qkv, causal: bool, num_heads: int, block_len: int):
@@ -468,11 +469,13 @@ def _flash_fwd_bd(qkv, causal: bool, num_heads: int, block_len: int):
         in_specs=[in_tile],
         out_specs=[
             pl.BlockSpec((G, L, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, num_heads, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            # [G, L, H] inside the kernel (no in-kernel transpose); the
+            # wrapper swaps to the whole-row [B, H, L] residual layout
+            pl.BlockSpec((G, L, num_heads), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Bp, L, HD), dtype),
-            jax.ShapeDtypeStruct((Bp, num_heads, L), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, L, num_heads), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((num_heads * Lp, HD), jnp.bfloat16),
@@ -482,6 +485,7 @@ def _flash_fwd_bd(qkv, causal: bool, num_heads: int, block_len: int):
         compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(qkv)
+    lse = jnp.swapaxes(lse, 1, 2)  # -> [B, H, L], the whole-row layout
     if Bp != B:
         o, lse = o[:B], lse[:B]
     return o, lse
