@@ -299,3 +299,25 @@ def test_swin_registry_and_guard():
     params = init_swin_params(jax.random.PRNGKey(0), bad.vision, 24)
     with pytest.raises(ValueError, match="not divisible"):
         swin_forward(params, bad.vision, np.zeros((1, 40, 40, 3), np.float32))
+
+
+def test_swin_remat_gradients_match():
+    """remat=True (jax.checkpoint over each block) must not change values
+    or gradients."""
+    from latteclip_tpu.models.clip import init_clip_params
+
+    cfg = _cfg()
+    params = init_clip_params(jax.random.PRNGKey(2), cfg)["visual"]
+    imgs = np.random.default_rng(0).standard_normal((2, 32, 32, 3)).astype(np.float32)
+
+    def loss(p, remat):
+        out = swin_forward(p, cfg.vision, imgs, dtype=np.float32, remat=remat)
+        return jax.numpy.sum(out ** 2)
+
+    v0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    v1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    fa = jax.tree_util.tree_flatten(g0)[0]
+    fb = jax.tree_util.tree_flatten(g1)[0]
+    for a, b in zip(fa, fb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
