@@ -488,6 +488,120 @@ def test_real_extract_features_pkl_parity(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Fusion-weight analysis: the reference's REAL extract_group_weights
+# ---------------------------------------------------------------------------
+
+
+def test_real_extract_group_weights_parity(tmp_path):
+    """Drives the reference's real ``extract_group_weights``
+    (``/root/reference/src/training/train.py:639-808`` — the fusion-weight
+    analysis dump) on the SAME sample stream as ``eval/group_weights.py``
+    and compares ``group_weights.npy`` plus the label fields of
+    ``all_labels.json``. Also pins that the reference's
+    ``compute_text_weights`` ignores its ``preds`` argument (the mask is
+    computed but never applied, train.py:301-303), which is why our
+    preds-free ``text_confidence_weights`` is exact."""
+    import json as json_mod
+
+    oc, ref_train = _load_reference_trainer()
+
+    from latteclip_tpu.data.pipeline import (
+        PipelineConfig,
+        TrainPipeline,
+        build_train_data,
+    )
+    from latteclip_tpu.data.synthetic import DEFAULT_CLASSES, make_full_fixture
+    from latteclip_tpu.eval.group_weights import extract_group_weights
+
+    root = str(tmp_path / "fx")
+    make_full_fixture(root, num_train=16, num_val=4, image_size=32)
+    class_names = [c.lower().replace("_", " ") for c in DEFAULT_CLASSES]
+    tok = get_tokenizer()
+    data = build_train_data(
+        f"{root}/webdataset/train_tars", f"{root}/clip_features_train.pkl",
+        [f"{root}/captions_per_image"], [f"{root}/captions_per_group"],
+        class_names, tok,
+    )
+    params = init_clip_params(jax.random.PRNGKey(21), CFG)
+    bank0 = np.asarray(init_memory_bank(params, CFG, tok, class_names, TEMPLATES))
+
+    ours_dir = str(tmp_path / "ours")
+    extract_group_weights(params, CFG, data, bank0, TEMPLATES, tok, ours_dir,
+                          batch_size=8, image_size=32)
+    gw_ours = np.load(f"{ours_dir}/group_weights.npy")
+    with open(f"{ours_dir}/all_labels.json") as f:
+        items_ours = json_mod.load(f)
+
+    # --- identical sample stream for the reference --------------------------
+    pipe = TrainPipeline(
+        data, PipelineConfig(batch_size=8, image_size=32, shuffle_buffer=1),
+        num_samples=16)
+    stream = pipe._sample_stream(0)
+    ref_batches = []
+    for _ in range(2):  # 16 samples, bs 8
+        samples = [next(stream) for _ in range(8)]
+        imgs = np.stack([s["image"] for s in samples])
+        norm = np.asarray(T.normalize_images(imgs))
+        images_t = torch.from_numpy(norm.transpose(0, 3, 1, 2)).contiguous()
+        per_img = torch.from_numpy(
+            np.stack([s["per_image_tokens"] for s in samples]).astype(np.int64)
+        ).unsqueeze(1)
+        per_grp = torch.from_numpy(
+            np.stack([s["per_group_tokens"] for s in samples]).astype(np.int64)
+        ).unsqueeze(1)
+        metadata = [{"class_name": class_names[s["gt"]],
+                     "image_id": f"id{i}"} for i, s in enumerate(samples)]
+        zs_names = [[class_names[s["zs_pred"]]] for s in samples]
+        # position 3 (common_texts) must be list-of-str-lists: the reference
+        # dumps common_texts[i][0] straight into all_labels.json
+        # (train.py:749), which crashes on the tokenized tensors its own
+        # loader produces — a latent reference bug; strings are the only
+        # form the function can complete with
+        ref_batches.append((
+            images_t, images_t.clone(), per_img.clone(), [["common"]] * 8,
+            [["raw"]] * 8, None, per_img, per_grp, metadata, zs_names,
+        ))
+
+    ref_clip = oc.model.CLIP(
+        embed_dim=CFG.embed_dim,
+        vision_cfg={"image_size": 32, "layers": 2, "width": 64, "patch_size": 16},
+        text_cfg={"context_length": 77, "vocab_size": 49408, "width": 64,
+                  "heads": 4, "layers": 2},
+    )
+    sd = {k: torch.from_numpy(v) for k, v in
+          params_to_pt_state_dict(params, CFG).items()}
+    _missing, unexpected = ref_clip.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    model = oc.model.CustomCLIP(ref_clip, class_names, oc.tokenize)
+    model.init_memory_bank(class_names, TEMPLATES)
+    with torch.no_grad():
+        for i, c in enumerate(class_names):
+            model.memory_bank[c].copy_(torch.from_numpy(bank0[i]))
+
+    dataset = {
+        "train": _StubTrainData(_StubLoader(ref_batches)),
+        "dtd-train-zero-shot-classification": types.SimpleNamespace(
+            class_names=class_names, templates=TEMPLATES),
+    }
+    args = _reference_args()
+    args.extract_group_weight_path = str(tmp_path / "ref")
+    import os
+    os.makedirs(args.extract_group_weight_path, exist_ok=True)
+    ref_train.extract_group_weights(model, dataset, 0, args, tokenizer=oc.tokenize)
+    gw_ref = np.load(f"{tmp_path}/ref/group_weights.npy")
+    with open(f"{tmp_path}/ref/all_labels.json") as f:
+        items_ref = json_mod.load(f)
+
+    assert gw_ours.shape == gw_ref.shape == (16,)
+    np.testing.assert_allclose(gw_ours, gw_ref, atol=5e-4)
+    assert len(items_ours) == len(items_ref) == 16
+    for a, b in zip(items_ours, items_ref):
+        assert a["zs_lb"] == b["zs_lb"]
+        assert a["ft_lb"] == b["ft_lb"]
+        assert a["gt_lb"] == b["gt_lb"]
+
+
+# ---------------------------------------------------------------------------
 # Two epochs + live cosine schedule + end-state zero-shot eval A/B
 # ---------------------------------------------------------------------------
 
