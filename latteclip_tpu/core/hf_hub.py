@@ -318,9 +318,11 @@ def push_to_hf_hub(
                 generate_readme(model_card or {}, repo_id.split("/")[-1])
             )
         if upload_folder is None:
+            where = (f"folder kept at {tmpdir}" if local_dir is not None
+                     else "pass local_dir= to keep the built folder")
             raise RuntimeError(
                 "Please install huggingface_hub to push to the Hugging Face "
-                f"Hub (folder built at {tmpdir})"
+                f"Hub ({where})"
             )
         create_repo(repo_id, token=token, private=private, exist_ok=True)
         return upload_folder(

@@ -398,6 +398,11 @@ def _interpret() -> bool:
 # consumes the same residuals. Enable with LATTECLIP_ATTN_BLOCKDIAG=1.
 
 def _blockdiag_enabled() -> bool:
+    # MEASURED LOSER — default OFF (2026-08-18, tools/r4_blockdiag.py):
+    # 8.15 ms vs 7.18 ms whole-row at text shapes. The fold removes the
+    # small-dot count but the scratch rebuilds + deep-K zero-lane MACs cost
+    # more; kept (with equivalence tests) as the recorded refutation of the
+    # matmul-issue-latency hypothesis.
     return _os.environ.get("LATTECLIP_ATTN_BLOCKDIAG", "0") == "1"
 
 
