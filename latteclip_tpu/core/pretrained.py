@@ -94,6 +94,29 @@ PRETRAINED: Dict[str, Dict[str, Dict]] = {
     "xlm-roberta-base-ViT-B-32": {
         "laion5b_s13b_b90k": _pcfg(hf_hub="laion/CLIP-ViT-B-32-xlm-roberta-base-laion5B-s13B-b90k/"),
     },
+    # EVA-CLIP (QuanSun/EVA-CLIP exports re-hosted on the timm hub;
+    # reference pretrained.py:350-377)
+    "EVA01-g-14": {
+        "laion400m_s11b_b41k": _pcfg(hf_hub="timm/eva_giant_patch14_clip_224.laion400m_s11b_b41k/"),
+    },
+    "EVA01-g-14-plus": {
+        "merged2b_s11b_b114k": _pcfg(hf_hub="timm/eva_giant_patch14_plus_clip_224.merged2b_s11b_b114k/"),
+    },
+    "EVA02-B-16": {
+        "merged2b_s8b_b131k": _pcfg(hf_hub="timm/eva02_base_patch16_clip_224.merged2b_s8b_b131k/"),
+    },
+    "EVA02-L-14": {
+        "merged2b_s4b_b131k": _pcfg(hf_hub="timm/eva02_large_patch14_clip_224.merged2b_s4b_b131k/"),
+    },
+    "EVA02-L-14-336": {
+        "merged2b_s6b_b61k": _pcfg(hf_hub="timm/eva02_large_patch14_clip_336.merged2b_s6b_b61k/"),
+    },
+    "EVA02-E-14": {
+        "laion2b_s4b_b115k": _pcfg(hf_hub="timm/eva02_enormous_patch14_clip_224.laion2b_s4b_b115k/"),
+    },
+    "EVA02-E-14-plus": {
+        "laion2b_s9b_b144k": _pcfg(hf_hub="timm/eva02_enormous_patch14_plus_clip_224.laion2b_s9b_b144k/"),
+    },
     "coca_ViT-B-32": {
         "laion2b_s13b_b90k": _pcfg(hf_hub="laion/CoCa-ViT-B-32-laion2B-s13B-b90k/"),
         "mscoco_finetuned_laion2b_s13b_b90k": _pcfg(hf_hub="laion/mscoco_finetuned_CoCa-ViT-B-32-laion2B-s13B-b90k/"),
