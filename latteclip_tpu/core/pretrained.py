@@ -31,6 +31,16 @@ def _slpcfg(url: str = "", hf_hub: str = "", **kw) -> Dict:
             "interpolation": "bicubic", "resize_mode": "squash", **kw}
 
 
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def _apcfg(url: str = "", hf_hub: str = "", **kw) -> Dict:
+    # CLIPA defaults (reference pretrained.py:55-65)
+    return {"url": url, "hf_hub": hf_hub, "mean": IMAGENET_MEAN, "std": IMAGENET_STD,
+            "interpolation": "bilinear", "resize_mode": "squash", **kw}
+
+
 _OPENAI = "https://openaipublic.azureedge.net/clip/models"
 _GH = "https://github.com/mlfoundations/open_clip/releases/download"
 
@@ -117,6 +127,29 @@ PRETRAINED: Dict[str, Dict[str, Dict]] = {
     "EVA02-E-14-plus": {
         "laion2b_s9b_b144k": _pcfg(hf_hub="timm/eva02_enormous_patch14_plus_clip_224.laion2b_s9b_b144k/"),
     },
+    # SigLIP hub checkpoints (reference pretrained.py:379-405)
+    "ViT-B-16-SigLIP-256": {"webli": _slpcfg(hf_hub="timm/ViT-B-16-SigLIP-256/")},
+    "ViT-B-16-SigLIP-384": {"webli": _slpcfg(hf_hub="timm/ViT-B-16-SigLIP-384/")},
+    "ViT-B-16-SigLIP-512": {"webli": _slpcfg(hf_hub="timm/ViT-B-16-SigLIP-512/")},
+    "ViT-B-16-SigLIP-i18n-256": {"webli": _slpcfg(hf_hub="timm/ViT-B-16-SigLIP-i18n-256/")},
+    "ViT-L-16-SigLIP-256": {"webli": _slpcfg(hf_hub="timm/ViT-L-16-SigLIP-256/")},
+    "ViT-L-16-SigLIP-384": {"webli": _slpcfg(hf_hub="timm/ViT-L-16-SigLIP-384/")},
+    "ViT-SO400M-14-SigLIP-384": {"webli": _slpcfg(hf_hub="timm/ViT-SO400M-14-SigLIP-384/")},
+    # CLIPA hub checkpoints (reference pretrained.py:407-425)
+    "ViT-L-14-CLIPA": {"datacomp1b": _apcfg(hf_hub="UCSC-VLAA/ViT-L-14-CLIPA-datacomp1B/")},
+    "ViT-L-14-CLIPA-336": {"datacomp1b": _apcfg(hf_hub="UCSC-VLAA/ViT-L-14-CLIPA-336-datacomp1B/")},
+    "ViT-H-14-CLIPA": {"datacomp1b": _apcfg(hf_hub="UCSC-VLAA/ViT-H-14-CLIPA-datacomp1B/")},
+    "ViT-H-14-CLIPA-336": {
+        "laion2b": _apcfg(hf_hub="UCSC-VLAA/ViT-H-14-CLIPA-336-laion2B/"),
+        "datacomp1b": _apcfg(hf_hub="UCSC-VLAA/ViT-H-14-CLIPA-336-datacomp1B/"),
+    },
+    "ViT-bigG-14-CLIPA": {"datacomp1b": _apcfg(hf_hub="UCSC-VLAA/ViT-bigG-14-CLIPA-datacomp1B/")},
+    "ViT-bigG-14-CLIPA-336": {"datacomp1b": _apcfg(hf_hub="UCSC-VLAA/ViT-bigG-14-CLIPA-336-datacomp1B/")},
+    # NLLB-CLIP (reference pretrained.py:427-438)
+    "nllb-clip-base": {"v1": _pcfg(hf_hub="visheratin/nllb-clip-base-oc/")},
+    "nllb-clip-large": {"v1": _pcfg(hf_hub="visheratin/nllb-clip-large-oc/")},
+    "nllb-clip-base-siglip": {"v1": _slpcfg(hf_hub="visheratin/nllb-clip-base-siglip/")},
+    "nllb-clip-large-siglip": {"v1": _slpcfg(hf_hub="visheratin/nllb-clip-large-siglip/")},
     "coca_ViT-B-32": {
         "laion2b_s13b_b90k": _pcfg(hf_hub="laion/CoCa-ViT-B-32-laion2B-s13B-b90k/"),
         "mscoco_finetuned_laion2b_s13b_b90k": _pcfg(hf_hub="laion/mscoco_finetuned_CoCa-ViT-B-32-laion2B-s13B-b90k/"),
