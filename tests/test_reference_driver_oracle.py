@@ -488,6 +488,72 @@ def test_real_extract_features_pkl_parity(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Val loss + retrieval: the reference's REAL evaluate
+# ---------------------------------------------------------------------------
+
+
+def test_real_evaluate_val_branch_parity():
+    """Drives the reference's real ``evaluate``
+    (``/root/reference/src/training/train.py:1385-1503``, val branch:
+    symmetric CLIP loss + ``get_clip_metrics`` retrieval R@k over the
+    accumulated features) against ``eval/retrieval.py::validation_loss``
+    on the same (image, caption) pairs and weights."""
+    oc, ref_train = _load_reference_trainer()
+
+    from latteclip_tpu.eval.retrieval import validation_loss
+
+    tok = get_tokenizer()
+    params = init_clip_params(jax.random.PRNGKey(33), CFG)
+    rng = np.random.default_rng(17)
+    batches = []
+    for s in range(2):
+        images = rng.integers(0, 255, size=(8, 32, 32, 3)).astype(np.uint8)
+        texts = tok([f"sample {s}-{i} of a {CLASSES[i % 4]} surface."
+                     for i in range(8)]).astype(np.int32)
+        batches.append((images, texts))
+
+    ours = validation_loss(params, CFG, batches)
+
+    ref_clip = oc.model.CLIP(
+        embed_dim=CFG.embed_dim,
+        vision_cfg={"image_size": 32, "layers": 2, "width": 64, "patch_size": 16},
+        text_cfg={"context_length": 77, "vocab_size": 49408, "width": 64,
+                  "heads": 4, "layers": 2},
+        output_dict=True,
+    )
+    sd = {k: torch.from_numpy(v) for k, v in
+          params_to_pt_state_dict(params, CFG).items()}
+    _missing, unexpected = ref_clip.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+
+    loader = []
+    for images, texts in batches:
+        norm = np.asarray(T.normalize_images(images))
+        loader.append((
+            torch.from_numpy(norm.transpose(0, 3, 1, 2)).contiguous(),
+            torch.from_numpy(texts.astype(np.int64)),
+            [{}] * len(images),
+        ))
+    val = types.SimpleNamespace(dataloader=_StubLoader(loader))
+    data = {"val": val}
+    args = _reference_args()
+    args.val_frequency = 1
+    args.epochs = 1
+    args.method = "ours"
+    args.distributed = False
+    args.zeroshot_frequency = 0
+    args.save_logs = False
+    metrics = ref_train.evaluate(ref_clip, data, 1, args, tokenizer=oc.tokenize)
+
+    assert abs(ours["clip_val_loss"] - metrics["clip_val_loss"]) < 2e-4
+    for key in ("image_to_text_R@1", "image_to_text_R@5", "image_to_text_R@10",
+                "text_to_image_R@1", "text_to_image_mean_rank",
+                "image_to_text_median_rank"):
+        assert abs(ours[key] - metrics[key]) < 1e-9, (key, ours[key], metrics[key])
+    assert ours["num_samples"] == metrics["num_samples"] == 16
+
+
+# ---------------------------------------------------------------------------
 # Fusion-weight analysis: the reference's REAL extract_group_weights
 # ---------------------------------------------------------------------------
 
