@@ -148,18 +148,15 @@ def _group_size_legacy(l: int, hd: int, cost_fn, which: str = "fwd") -> int:
         budget = int(env) * 1024 * 1024
     else:
         budget = _legacy_budget()
-        # SHORT sequences (the L<=128 text towers) are per-program-overhead-
-        # bound: at G=16 one fwd program is ~194 MFLOP of 77x64x77 dots
-        # (~1 us of MXU) yet measures ~75 us (tools/r3_text_audit.py:
-        # 2.6 TF/s vs 21-26 at L=197). Larger groups amortize that overhead,
-        # so short L gets a bigger budget (48 MB -> CLIP text HD=512:
-        # fwd G=64 / bwd G=32; wider towers land on 32/16 — still under the
-        # 64 MiB per-kernel Mosaic limit from _compiler_params; the byte
-        # formulas overestimate). Long-L shapes keep the measured-good 24 MB
-        # (fwd G=16 at L=197 regressed, 559.8 vs 567.4). Opt-in via
-        # LATTECLIP_ATTN_SHORTL=1 until measured on TPU (tools/r3_shortl.py)
-        # — an unmeasured default risks a cold >8-min kernel compile or a
-        # VMEM rejection in the driver's bench run.
+        # SHORT-L experiment knob — MEASURED WASH, stays opt-in. The round-3
+        # theory (per-program overhead at L<=128: ~194 MFLOP per G=16 fwd
+        # program yet ~75 us, tools/r3_text_audit.py) predicted G=64 groups
+        # would amortize it; the full-step measurement showed NO change
+        # (537.4 vs 537.5, tools/r3_shortl.py), and the follow-ups refuted
+        # every alternative mechanism too: pre-transposed operands identical
+        # (r4_transpose_probe), block-diag head folding loses 13%
+        # (r4_blockdiag). The L=77 kernel's 1.8 TF/s cost is intrinsic to
+        # this program shape; see BASELINE.md's round-3 rows.
         if l <= 128 and _os.environ.get("LATTECLIP_ATTN_SHORTL", "0") == "1" \
                 and _os.environ.get("LATTECLIP_ATTN_BUDGET_MB") is None \
                 and jax.default_backend() == "tpu":
