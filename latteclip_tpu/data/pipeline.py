@@ -49,6 +49,7 @@ from latteclip_tpu.data.tar_reader import (
     ShuffleBuffer,
     expand_shard_pattern,
     iter_shards_samples,
+    resampled_shards,
     shuffled_shards,
     split_shards,
 )
@@ -239,6 +240,11 @@ class PipelineConfig:
     # PIL bicubic — eval always uses the PIL path for parity); ~1.3-1.7x the
     # PIL path per image on one core, more on large images.
     use_native_jpeg: bool = False
+    # --dataset-resampled: per-epoch shard sampling WITH replacement
+    # (reference ResampledShards2, data.py:311-365,520); optional per-shard
+    # weights expanded from --train-data-upsampling-factors
+    resampled: bool = False
+    upsampling_factors: Optional[Sequence[float]] = None
     # Replace the per-image caption with the lowercased ground-truth
     # classname (reference --train-with-gt-text, data.py:476-477; debugging)
     train_with_gt_text: bool = False
@@ -274,6 +280,14 @@ class TrainPipeline:
         global_batch = cfg.batch_size * cfg.host_count
         round_fn = (lambda a, b: a // b) if cfg.floor else (lambda a, b: -(-a // b))
         self.steps_per_epoch = max(1, round_fn(num_samples, global_batch))
+        self._shard_weights = None
+        if cfg.upsampling_factors is not None:
+            assert cfg.resampled, "--train-data-upsampling-factors needs --dataset-resampled"
+            weights = list(cfg.upsampling_factors)
+            assert len(weights) == len(data.shards), (
+                f"per-shard upsampling weights ({len(weights)}) must match "
+                f"the shard count ({len(data.shards)})")
+            self._shard_weights = weights
         self._tok_dim = (
             next(iter(data.group_tokens.values())).shape[0]
             if data.group_tokens
@@ -419,7 +433,12 @@ class TrainPipeline:
             # the wraparound pass reshuffles (epoch, wrap) so repeated passes
             # within one epoch don't replay the identical sample order
             # (detshuffle2 similarly advances its counter per re-iteration)
-            shards = shuffled_shards(self.data.shards, cfg.seed, epoch * 1000 + wrap)
+            if cfg.resampled:
+                shards = resampled_shards(
+                    self.data.shards, cfg.seed, epoch * 1000 + wrap,
+                    weights=self._shard_weights)
+            else:
+                shards = shuffled_shards(self.data.shards, cfg.seed, epoch * 1000 + wrap)
             shards = split_shards(shards, cfg.host_index, cfg.host_count)
             shuffle = ShuffleBuffer(cfg.shuffle_buffer, seed=cfg.seed + epoch * 1000 + wrap)
             raw_stream = shuffle(iter_shards_samples(shards))

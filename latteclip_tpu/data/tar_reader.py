@@ -58,6 +58,22 @@ def shuffled_shards(shards: Sequence[str], seed: int, epoch: int) -> List[str]:
     return out
 
 
+def resampled_shards(
+    shards: Sequence[str], seed: int, epoch: int,
+    weights: "Sequence[float] | None" = None,
+) -> List[str]:
+    """Sample ``len(shards)`` shards WITH replacement (reference
+    ResampledShards2, data.py:311-365; per-shard ``weights`` from
+    --train-data-upsampling-factors, data.py:542-551). Deterministic per
+    (seed, epoch) like :func:`shuffled_shards`."""
+    rng = random.Random(seed + epoch)
+    pool = list(shards)
+    if weights is not None:
+        assert len(weights) == len(pool), (len(weights), len(pool))
+        return rng.choices(pool, weights=list(weights), k=len(pool))
+    return rng.choices(pool, k=len(pool))
+
+
 def split_shards(shards: Sequence[str], index: int, count: int) -> List[str]:
     """Round-robin shard assignment (split_by_node / split_by_worker)."""
     return list(shards)[index::count] if count > 1 else list(shards)

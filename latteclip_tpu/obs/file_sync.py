@@ -62,17 +62,25 @@ class RemoteSync:
     """Background periodic sync (reference start_sync_process equivalent,
     thread-based: there is no CUDA-context reason to pay a process here)."""
 
-    def __init__(self, local_dir: str, remote_dir: str, frequency_s: float = 300.0):
+    def __init__(self, local_dir: str, remote_dir: str, frequency_s: float = 300.0,
+                 protocol: str = "s3"):
+        # --remote-sync-protocol (reference file_utils.py:20-61): "s3" keeps
+        # the URL-based dispatch (aws s3 sync for s3:// urls); "fsspec"
+        # forces the recursive-copy path like remote_sync_fsspec
         self.local_dir = local_dir
         self.remote_dir = remote_dir
         self.frequency_s = frequency_s
+        self.protocol = protocol
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
 
     def start(self) -> "RemoteSync":
         def run():
             while not self._stop.wait(self.frequency_s):
-                ok = sync_dir(self.local_dir, self.remote_dir)
+                if self.protocol == "fsspec":
+                    ok = sync_dir_local(self.local_dir, self.remote_dir)
+                else:
+                    ok = sync_dir(self.local_dir, self.remote_dir)
                 logger.info("remote sync %s", "ok" if ok else "FAILED")
 
         self._thread = threading.Thread(target=run, daemon=True)

@@ -63,7 +63,9 @@ class LoopConfig:
     name: str = "run"
     log_every_n_steps: int = 10
     zeroshot_frequency: int = 1
+    val_frequency: int = 1      # gates the --val-data branch (reference train.py:1400)
     save_frequency: int = 1
+    save_most_recent: bool = True  # atomic epoch_latest.pt (reference main.py:546)
     delete_previous_checkpoint: bool = False
     eval_batch_size: int = 64
     method: str = "ours"  # eval-classifier dispatch, reference zero_shot.py:117-145
@@ -153,11 +155,12 @@ def save_epoch_checkpoint(
         prev = os.path.join(loop_cfg.checkpoint_dir, f"epoch_{epoch - 1}.pt")
         if os.path.exists(prev):
             os.remove(prev)
-    # atomic latest (save_clip_pt already writes tmp + os.replace)
-    save_clip_pt(
-        os.path.join(loop_cfg.checkpoint_dir, "epoch_latest.pt"),
-        state.params, cfg, **extra,
-    )
+    if loop_cfg.save_most_recent:
+        # atomic latest (save_clip_pt already writes tmp + os.replace)
+        save_clip_pt(
+            os.path.join(loop_cfg.checkpoint_dir, "epoch_latest.pt"),
+            state.params, cfg, **extra,
+        )
 
 
 def train(
@@ -238,7 +241,13 @@ def train(
                 method=loop_cfg.method, tokenizer=tokenizer,
                 classnames=classnames, templates=templates,
             )
-            if val_pairs_dataset is not None:
+            run_val = (
+                val_pairs_dataset is not None
+                and loop_cfg.val_frequency
+                and (completed % loop_cfg.val_frequency == 0
+                     or completed == loop_cfg.epochs)
+            )
+            if run_val:
                 from latteclip_tpu.eval.retrieval import evaluate_val_pairs
 
                 eval_metrics.update(

@@ -162,6 +162,81 @@ def _build_aug_config(aug_cfg: dict):
     return AugConfig(**kw)
 
 
+_WARN_IGNORED_FLAGS = (
+    # GPU/infra flags accepted for reference-script compat (params.py)
+    "torchscript", "torchcompile", "trace", "horovod", "ddp_static_graph",
+    "no_set_device_rank", "use_bnb_linear", "dist_url", "dist_backend",
+    "debug", "copy_codebase", "log_local", "pretrained_image",
+)
+
+
+def _parse_upsampling(args):
+    """--train-data-upsampling-factors: per-::-source weights expanded to
+    per-shard weights (reference data.py:542-551; requires
+    --dataset-resampled)."""
+    if not args.train_data_upsampling_factors:
+        return None
+    if not args.dataset_resampled:
+        raise SystemExit(
+            "--train-data-upsampling-factors is only supported when sampling "
+            "with replacement (--dataset-resampled), like the reference "
+            "(data.py:543-545)")
+    from latteclip_tpu.data.tar_reader import expand_shard_pattern
+
+    factors = [float(v) for v in args.train_data_upsampling_factors.split("::")]
+    sources = (args.train_data or "").split("::")
+    if len(factors) != len(sources):
+        raise SystemExit(
+            f"--train-data-upsampling-factors has {len(factors)} entries for "
+            f"{len(sources)} ::-separated --train-data sources")
+    weights = []
+    for src, w in zip(sources, factors):
+        weights += [w] * len(expand_shard_pattern(src))
+    return weights
+
+
+def _apply_reference_compat_overrides(args, cfg):
+    """Wire the reference-compat flags that override the model config
+    (reference main.py:233-261) and surface the warn-ignored ones."""
+    import dataclasses
+
+    if args.imagenet_v2:
+        raise SystemExit(
+            "--imagenet-v2 needs the imagenetv2_pytorch dataset package "
+            "(reference data.py:142-186), which is not installed in this "
+            "environment"
+        )
+    ignored = [f for f in _WARN_IGNORED_FLAGS if getattr(args, f, None)]
+    if ignored:
+        logger.warning(
+            "ignoring GPU/infra flags with no TPU counterpart: %s",
+            ", ".join("--" + f.replace("_", "-") for f in ignored),
+        )
+    if args.image_interpolation and args.image_interpolation != "bicubic":
+        logger.warning(
+            "--image-interpolation %s is not implemented on the TPU resize "
+            "path (bicubic/Keys-cubic only); using bicubic",
+            args.image_interpolation,
+        )
+    changes = {}
+    if args.image_mean:
+        changes["image_mean"] = tuple(args.image_mean)
+    if args.image_std:
+        changes["image_std"] = tuple(args.image_std)
+    if args.image_resize_mode:
+        changes["resize_mode"] = args.image_resize_mode
+    if args.force_patch_dropout is not None:
+        changes["vision"] = dataclasses.replace(
+            cfg.vision, patch_dropout=float(args.force_patch_dropout))
+    if changes:
+        cfg = dataclasses.replace(cfg, **changes)
+    # reference spelling alias: unlocked LAYERS counts map onto our groups
+    if args.lock_text_unlocked_layers:
+        args.lock_text_unlocked_groups = max(
+            args.lock_text_unlocked_groups, args.lock_text_unlocked_layers)
+    return cfg
+
+
 def main(argv=None) -> int:
     args = parse_args(argv)
     # escape hatch for hosts whose sitecustomize pins jax to a platform
@@ -183,6 +258,7 @@ def main(argv=None) -> int:
                 f.write(f"{k}: {getattr(args, k)}\n")
 
     cfg, params, bank_dict = build_model(args)
+    cfg = _apply_reference_compat_overrides(args, cfg)
     tokenizer = get_tokenizer_for_config(cfg)
 
     synthetic_mode = args.dataset_type == "synthetic"
@@ -309,18 +385,25 @@ def main(argv=None) -> int:
         train_with_gt_text=args.train_with_gt_text,
         ondevice_resize=args.ondevice_resize,
         crop_scale=(aug.scale_min, aug.scale_max),
+        resampled=args.dataset_resampled,
+        upsampling_factors=_parse_upsampling(args),
     )
     pipeline = TrainPipeline(data, pipe_cfg, num_samples)
     total_steps = pipeline.steps_per_epoch * args.epochs
 
     # ---- optimizer + step --------------------------------------------------
     cooldown = pipeline.steps_per_epoch * args.epochs_cooldown if args.epochs_cooldown else 0
-    schedule = make_schedule(
-        args.lr_scheduler, args.lr, args.warmup, total_steps,
-        cooldown_steps=cooldown,
-        cooldown_power=args.lr_cooldown_power,
-        cooldown_end_lr=args.lr_cooldown_end,
-    )
+    if args.skip_scheduler:
+        # the reference never steps the scheduler (train.py:363): lr stays
+        # at the optimizer's initial value
+        schedule = make_schedule("const", args.lr, 0, total_steps)
+    else:
+        schedule = make_schedule(
+            args.lr_scheduler, args.lr, args.warmup, total_steps,
+            cooldown_steps=cooldown,
+            cooldown_power=args.lr_cooldown_power,
+            cooldown_end_lr=args.lr_cooldown_end,
+        )
     optimizer = make_optimizer(
         schedule, beta1=args.beta1, beta2=args.beta2, eps=args.eps,
         weight_decay=args.wd, grad_clip_norm=args.grad_clip_norm,
@@ -423,7 +506,9 @@ def main(argv=None) -> int:
         name=name,
         log_every_n_steps=args.log_every_n_steps,
         zeroshot_frequency=args.zeroshot_frequency,
+        val_frequency=args.val_frequency,
         save_frequency=args.save_frequency,
+        save_most_recent=args.save_most_recent,
         delete_previous_checkpoint=args.delete_previous_checkpoint,
         eval_batch_size=args.eval_batch_size,
         method=args.method,
@@ -461,6 +546,7 @@ def main(argv=None) -> int:
         remote_sync = RemoteSync(
             log_dir, os.path.join(args.remote_sync, name),
             frequency_s=args.remote_sync_frequency,
+            protocol=args.remote_sync_protocol,
         ).start()
         logger.info("remote sync -> %s every %ds", args.remote_sync, args.remote_sync_frequency)
 

@@ -150,6 +150,116 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "wandb (reference params.py / main.py:434-457); "
                         "tensorboard uses the stdlib event writer in "
                         "obs/tensorboard.py")
+    # ---- reference-compat surface (reference params.py) --------------------
+    # wired semantics
+    p.add_argument("--skip-scheduler", action="store_true", default=False,
+                   help="constant lr (the scheduler is never stepped — "
+                        "reference train.py:363)")
+    p.add_argument("--val-frequency", type=int, default=1,
+                   help="run the --val-data loss/retrieval branch every N "
+                        "epochs (reference train.py:1400-1401)")
+    p.add_argument("--save-most-recent", dest="save_most_recent",
+                   action="store_true", default=True,
+                   help="keep an atomic epoch_latest.pt (reference "
+                        "main.py:546-551). We default ON — resume-latest is "
+                        "the common path and the atomic write is free; "
+                        "--no-save-most-recent restores the reference's "
+                        "default-off")
+    p.add_argument("--no-save-most-recent", dest="save_most_recent",
+                   action="store_false")
+    p.add_argument("--image-mean", type=float, nargs="+", default=None,
+                   help="override the model's image mean (reference "
+                        "main.py:251)")
+    p.add_argument("--image-std", type=float, nargs="+", default=None)
+    p.add_argument("--image-interpolation", default=None,
+                   choices=("bicubic", "bilinear", "random"),
+                   help="only bicubic is implemented on the TPU resize path "
+                        "(PIL-parity); other values warn and fall back")
+    p.add_argument("--image-resize-mode", default=None,
+                   choices=("shortest", "longest", "squash"),
+                   help="override eval resize geometry (reference "
+                        "transform.py:378-425)")
+    p.add_argument("--force-patch-dropout", type=float, default=None,
+                   help="override the model config's patch dropout "
+                        "(reference main.py:249)")
+    p.add_argument("--remote-sync-protocol", choices=("s3", "fsspec"),
+                   default="s3",
+                   help="s3: aws-s3-sync for s3:// urls; fsspec: recursive "
+                        "copy (reference file_utils.py:20-61)")
+    p.add_argument("--dataset-resampled", action="store_true", default=False,
+                   help="sample shards WITH replacement per epoch (reference "
+                        "ResampledShards2, data.py:311-365,520)")
+    p.add_argument("--train-data-upsampling-factors", type=str, default=None,
+                   help="per-::-source sampling weights; requires "
+                        "--dataset-resampled (reference data.py:542-551)")
+    p.add_argument("--lock-text-unlocked-layers", type=int, default=0,
+                   help="reference spelling; alias of "
+                        "--lock-text-unlocked-groups")
+    p.add_argument("--val-num-samples", type=int, default=None,
+                   help="accepted for reference-script compat (the reference "
+                        "only prints it, train.py:1376)")
+    p.add_argument("--coca-caption-loss-weight", type=float, default=2.0)
+    p.add_argument("--coca-contrastive-loss-weight", type=float, default=1.0)
+    # no-ops whose behavior is the TPU design's default — accepted so
+    # reference invocations run unchanged, documented here:
+    #   --local-loss / --gather-with-grad: the GSPMD full-matrix InfoNCE is
+    #     math-identical to local-loss + differentiable gather (XLA inserts
+    #     and differentiates the all-gather);
+    #   --force-custom-text: towers are separate pure functions already;
+    #   --lock-image-freeze-bn-stats / --use-bn-sync: BN statistics are
+    #     frozen plain params by construction (models/resnet.py);
+    #   --lock-text-freeze-layer-norm: locking freezes whole groups
+    #     including their LNs.
+    for flag in ("--local-loss", "--gather-with-grad", "--force-custom-text",
+                 "--lock-image-freeze-bn-stats", "--lock-text-freeze-layer-norm",
+                 "--use-bn-sync"):
+        p.add_argument(flag, action="store_true", default=False,
+                       help="accepted for reference compat; behavior is the "
+                            "TPU design's default (see params.py comment)")
+    # GPU/infra flags with no TPU counterpart: accepted and warn-ignored so
+    # reference scripts run; torch-runtime (torchscript/compile/trace,
+    # bitsandbytes), NCCL/launcher (dist-url/backend, horovod, DDP knobs),
+    # and debug conveniences
+    for flag, kw in (
+        ("--torchscript", {}), ("--torchcompile", {}), ("--trace", {}),
+        ("--horovod", {}), ("--ddp-static-graph", {}),
+        ("--no-set-device-rank", {}), ("--use-bnb-linear", dict(type=str)),
+        ("--dist-url", dict(type=str)), ("--dist-backend", dict(type=str)),
+        ("--debug", {}), ("--copy-codebase", {}), ("--log-local", {}),
+        ("--pretrained-image", {}),
+    ):
+        kwargs = dict(kw) if kw else dict(action="store_true", default=False)
+        if "type" in kwargs:
+            kwargs["default"] = None
+        p.add_argument(flag, help="GPU/infra flag with no TPU counterpart; "
+                                  "accepted and warn-ignored", **kwargs)
+    # vestigial reference flags: accepted by the reference but never consumed
+    # by any reachable code path there either (legacy v1 trainer / dead code)
+    for flag, kw in (
+        ("--subsample-ratio", dict(type=float, default=1.0)),
+        ("--visual-adapter-ratio", dict(type=float, default=0.0)),
+        ("--text-adapter-ratio", dict(type=float, default=0.0)),
+        ("--abo-zeroshot-eval", dict(action="store_true", default=False)),
+        ("--caltech101-zeroshot-eval", dict(action="store_true", default=False)),
+        ("--flower102-zeroshot-eval", dict(action="store_true", default=False)),
+        ("--multiclass-loss", dict(action="store_true", default=False)),
+        ("--n-images", dict(type=int, default=4)),
+        ("--hard-mining-captions-path", dict(type=str, default=None)),
+        ("--hard-mining-loss-weight", dict(type=float, default=0.0)),
+        ("--gen-text-label-weight", dict(type=float, default=1.0)),
+        ("--similar-images-path", dict(type=str, default=None)),
+        ("--mllm-pred-path", dict(type=str, default=None)),
+        ("--num-hard-mining-samples", dict(type=int, default=0)),
+        ("--distill-weight", dict(type=float, default=1.0)),
+        ("--preprocess-path", dict(type=str, default=None)),
+    ):
+        p.add_argument(flag, help="vestigial reference flag (unused by the "
+                                  "reference's reachable paths); accepted "
+                                  "for CLI compat", **kw)
+    p.add_argument("--imagenet-v2", type=str, default=None,
+                   help="ImageNet-V2 eval root (reference data.py:142-186 "
+                        "via the imagenetv2_pytorch package — absent in this "
+                        "environment; setting it raises with the reason)")
     p.add_argument("--text-context-cap", type=str, default="",
                    help="cap caption/template text encodes to a shorter "
                         "static context ('auto' = dataset max EOT rounded to "
