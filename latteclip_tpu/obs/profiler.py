@@ -72,6 +72,58 @@ def profile_model(name: str, batch_size: int = 1) -> Dict[str, float]:
     return out
 
 
+class StepTraceProfiler:
+    """Capture a ``jax.profiler`` device trace of a few warm train steps.
+
+    The TPU-native counterpart of the reference's runtime tracing surface
+    (``--trace`` / ``torch.jit.trace`` at ``src/open_clip/model.py:762-775``,
+    ``--torchcompile`` at ``src/training/main.py:463-465``, and the
+    FlopCounter profiling CLI at ``src/training/profiler.py:82-122``): one
+    flag produces an XPlane trace (viewable in TensorBoard's profile plugin /
+    xprof or Perfetto) covering ``[start_step, start_step + num_steps)`` of
+    the run — after compile and pipeline warmup, so the trace shows
+    steady-state kernels, not tracing/compilation.
+
+    Drive it with :meth:`on_step` once per step index *before* dispatching
+    that step; call :meth:`close` when the loop ends (idempotent — also stops
+    an open trace if the run was shorter than ``start + num``). ``sync`` is a
+    zero-arg callable that blocks until all dispatched device work finished;
+    it is invoked before ``stop_trace`` so every traced step's device
+    activity lands inside the capture window.
+    """
+
+    def __init__(self, trace_dir: str, start_step: int = 3, num_steps: int = 5):
+        self.trace_dir = trace_dir
+        self.start_step = max(int(start_step), 0)
+        self.stop_step = self.start_step + max(int(num_steps), 1)
+        self._active = False
+        self._done = False
+
+    def on_step(self, step: int, sync=None) -> None:
+        if self._done:
+            return
+        if not self._active and step == self.start_step:
+            import os
+
+            os.makedirs(self.trace_dir, exist_ok=True)
+            jax.profiler.start_trace(self.trace_dir)
+            self._active = True
+        elif self._active and step >= self.stop_step:
+            self._stop(sync)
+
+    def close(self, sync=None) -> None:
+        if self._active:
+            self._stop(sync)
+        self._done = True
+
+    def _stop(self, sync=None) -> None:
+        if sync is not None:
+            sync()
+        jax.profiler.stop_trace()
+        self._active = False
+        self._done = True
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(__doc__)
     p.add_argument("--model", nargs="+", required=True)

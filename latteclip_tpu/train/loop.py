@@ -69,6 +69,12 @@ class LoopConfig:
     delete_previous_checkpoint: bool = False
     eval_batch_size: int = 64
     method: str = "ours"  # eval-classifier dispatch, reference zero_shot.py:117-145
+    # --profile: jax.profiler trace of a few warm steps (reference tracing
+    # surface: model.py:762-775 --trace, main.py:463-465 --torchcompile,
+    # profiler.py:82-122)
+    profile_dir: Optional[str] = None
+    profile_start_step: int = 3
+    profile_num_steps: int = 5
 
 
 def _host_local_eval_state(state: TrainState) -> TrainState:
@@ -194,6 +200,17 @@ def train(
     is_master = jax.process_index() == 0
     results_path = os.path.join(loop_cfg.checkpoint_dir, "results.jsonl")
 
+    tracer = None
+    if loop_cfg.profile_dir and is_master:
+        from latteclip_tpu.obs.profiler import StepTraceProfiler
+
+        tracer = StepTraceProfiler(
+            loop_cfg.profile_dir,
+            start_step=loop_cfg.profile_start_step,
+            num_steps=loop_cfg.profile_num_steps,
+        )
+    global_step = 0
+
     for epoch in range(start_epoch, loop_cfg.epochs):
         state = state.start_epoch()
         bank = DeviceMeterBank()  # every-step sums stay on device
@@ -201,11 +218,16 @@ def train(
 
         for i, host_batch in enumerate(prefetch(pipeline.epoch(epoch), size=pipeline.cfg.prefetch_batches)):
             thr.tick_data()
+            if tracer is not None:
+                # host readback forces completion of all dispatched steps, so
+                # the capture window contains only whole traced steps
+                tracer.on_step(global_step, sync=lambda: np.asarray(state.step))
             batch = global_batch_from_local(host_batch, mesh)
             rng = jax.random.fold_in(jax.random.PRNGKey(seed), epoch * 100003 + i)
             state, metrics = sharded_step(state, batch, rng)
             bank.update(metrics)  # async device add, no sync
             thr.tick_batch()
+            global_step += 1
 
             if is_master and (i % loop_cfg.log_every_n_steps == 0 or i == pipeline.steps_per_epoch - 1):
                 meters = bank.fetch()  # ONE host sync for all scalars
@@ -295,4 +317,6 @@ def train(
             # (no collective), so master-only saving cannot deadlock
             save_epoch_checkpoint(state, cfg, classnames, loop_cfg, completed)
 
+    if tracer is not None:
+        tracer.close(sync=lambda: np.asarray(state.step))
     return state

@@ -512,6 +512,9 @@ def main(argv=None) -> int:
         delete_previous_checkpoint=args.delete_previous_checkpoint,
         eval_batch_size=args.eval_batch_size,
         method=args.method,
+        profile_dir=os.path.join(log_dir, "trace") if args.profile else None,
+        profile_start_step=args.profile_start_step,
+        profile_num_steps=args.profile_num_steps,
     )
     imagenet_val_dataset = None
     if args.imagenet_val:

@@ -302,6 +302,18 @@ def parse_args(argv=None) -> argparse.Namespace:
     )
     p.add_argument("--text-type", type=str, default="concat")  # accepted for parity
 
+    # profiling (TPU counterpart of the reference's --trace / --torchcompile /
+    # profiler.py tooling: model.py:762-775, main.py:463-465, profiler.py:82-122)
+    p.add_argument("--profile", action="store_true", default=False,
+                   help="capture a jax.profiler device trace of a few warm "
+                        "train steps into <logs>/<name>/trace (view with "
+                        "TensorBoard's profile plugin / xprof or Perfetto)")
+    p.add_argument("--profile-start-step", type=int, default=3,
+                   help="first global step inside the trace window (after "
+                        "compile + pipeline warmup)")
+    p.add_argument("--profile-num-steps", type=int, default=5,
+                   help="number of steps the trace window covers")
+
     # bookkeeping
     p.add_argument("--logs", type=str, default="./logs/")
     p.add_argument("--name", type=str, default=None)
