@@ -14,7 +14,19 @@ estimates (330 img/s at ViT-B/16, 596 at ViT-B/32, one shared utilization
 assumption scaled by per-image step FLOPs) and records our measurements as
 they land.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} with
+three robustness fields (VERDICT r3 #2) that de-noise the ±15-30% session
+lottery documented in BASELINE.md:
+
+- ``mfu``: executed-FLOPs/sec of the measured step divided by the SAME
+  session's measured square-GEMM roofline (both computed in-run, so the
+  ratio is session-invariant even when absolute img/s swings);
+- ``gemm_roofline_tflops``: that roofline, for the record;
+- ``value_ctx_auto``: throughput at the production ``--text-context-cap``
+  setting (ctx 48 — real LLaVA captions tokenize to ~25-40 BPE tokens, so
+  the cap is result-identical there; see BASELINE.md ctx-cap rows). The
+  headline ``value`` stays at the reference's full 77 columns so
+  ``vs_baseline`` compares equal work.
 """
 from __future__ import annotations
 
@@ -23,6 +35,8 @@ import sys
 import time
 
 import numpy as np
+
+PRODUCTION_CTX = 48  # --text-context-cap auto lands here for LLaVA captions
 
 # Per-config V100 baseline estimates (see BASELINE.md "Baseline methodology").
 # Both derive from ONE utilization assumption: the round-1 ViT-B/16 estimate
@@ -40,18 +54,82 @@ WARMUP_STEPS = 3
 MEASURE_STEPS = 10
 
 
-def make_batch(batch_size: int, image_size: int, num_classes: int):
+def make_batch(batch_size: int, image_size: int, num_classes: int, ctx: int = 77,
+               eot_id: int = 49407):
     rng = np.random.default_rng(0)
+    per_image = rng.integers(1, 40000, size=(batch_size, ctx)).astype(np.int32)
+    per_group = rng.integers(1, 40000, size=(batch_size, ctx)).astype(np.int32)
+    if ctx != 77:
+        # capped contexts carry a forced EOT in the last column, like the
+        # real pipeline's apply_context_cap output
+        per_image[:, -1] = eot_id
+        per_group[:, -1] = eot_id
     return {
         "images": rng.integers(0, 255, size=(batch_size, image_size, image_size, 3)).astype(np.uint8),
-        "per_image_tokens": rng.integers(1, 49406, size=(batch_size, 77)).astype(np.int32),
-        "per_group_tokens": rng.integers(1, 49406, size=(batch_size, 77)).astype(np.int32),
+        "per_image_tokens": per_image,
+        "per_group_tokens": per_group,
         "zs_preds": rng.integers(0, num_classes, size=(batch_size,)).astype(np.int32),
         "gt_labels": rng.integers(0, num_classes, size=(batch_size,)).astype(np.int32),
     }
 
 
-def run(model: str = MODEL, batch: int = BATCH, remat: bool = False) -> dict:
+def measure_gemm_roofline(n: int = 8192, iters: int = 20) -> float:
+    """Same-session bf16 square-GEMM rate in FLOP/s (the MFU denominator).
+
+    The ``iters`` GEMMs run inside ONE jit as a sequentially-dependent
+    ``lax.scan`` (tools/perf_lab.py discipline): the axon relay costs ~3 ms
+    per dispatch, which poisons a host-side loop of sub-ms GEMMs (measured
+    41.8 "TF/s" with the naive loop vs 140-196 real)."""
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.ones((n, n), jnp.bfloat16)
+
+    @jax.jit
+    def chain(x):
+        def body(c, _):
+            # a is all-ones so c@a == n for all-ones c; the 1/n rescale keeps
+            # the carry at ones (a cheap VPU pass that forces the sequential
+            # data dependency without overflow)
+            c = jnp.dot(c, a, preferred_element_type=jnp.bfloat16) * (1.0 / n)
+            return c.astype(jnp.bfloat16), ()
+        f, _ = jax.lax.scan(body, x, None, length=iters)
+        return jnp.float32(f[0, 0])
+
+    float(chain(a))  # compile + warm (relay: block_until_ready is a no-op)
+    t0 = time.perf_counter()
+    float(chain(a))
+    dt = time.perf_counter() - t0
+    return 2.0 * n ** 3 * iters / dt
+
+
+def analytic_step_tflops(cfg, batch: int, num_classes: int, ctx: int,
+                         remat: bool) -> float:
+    """GEMM FLOPs of one fused v2 train step, in TF — the MFU numerator.
+
+    Analytic, following BASELINE.md's "Roofline" accounting exactly (vision
+    fwd 35.1 GF/img at ViT-B/16, text 2 caption streams + C deduped
+    templates, training multiplier 3.9x under per-block remat / 3x without).
+    Computed from the model config rather than XLA ``cost_analysis()``,
+    which under-reports ~12x on the axon relay backend (measured: 7.76 TF
+    vs the ~95 TF this formula and BASELINE.md agree on)."""
+    def tower_fwd(n_tok: int, width: int, layers: int) -> float:
+        # per block: qkv/out/mlp GEMMs 24*N*D^2 + attention dots 4*N^2*D
+        return layers * (24 * n_tok * width ** 2 + 4 * n_tok ** 2 * width)
+
+    v, t = cfg.vision, cfg.text
+    grid = v.image_size // v.patch_size
+    n_img = grid * grid + 1
+    vis = (tower_fwd(n_img, v.width, v.layers)
+           + 2 * n_img * (v.patch_size ** 2 * 3) * v.width
+           + 2 * v.width * cfg.embed_dim) * batch
+    txt_seq = tower_fwd(ctx, t.width, t.layers) + 2 * t.width * cfg.embed_dim
+    txt = txt_seq * (2 * batch + num_classes)
+    return (vis + txt) * (3.9 if remat else 3.0) / 1e12
+
+
+def run(model: str = MODEL, batch: int = BATCH, remat: bool = False,
+        ctx: int = 77) -> dict:
     import jax
 
     from latteclip_tpu.core.config import get_model_config
@@ -73,6 +151,8 @@ def run(model: str = MODEL, batch: int = BATCH, remat: bool = False) -> dict:
     tokenizer = get_tokenizer()
     bank = init_memory_bank(params, cfg, tokenizer, classes, templates)
     table = build_template_table(tokenizer, classes, templates)
+    if ctx != table.shape[1]:
+        table = np.asarray(table)[:, :ctx]
     optimizer = make_optimizer(make_schedule("cosine", 1e-5, warmup=10, total_steps=1000))
     state = create_train_state(params, optimizer, bank)
     hp = LatteHParams(remat=remat)
@@ -81,7 +161,8 @@ def run(model: str = MODEL, batch: int = BATCH, remat: bool = False) -> dict:
     step = jax.jit(make_train_step(cfg, optimizer, hp, table), donate_argnums=(0,),
                    compiler_options=tpu_compiler_options())
 
-    host_batch = make_batch(batch, cfg.vision.image_size, len(classes))
+    host_batch = make_batch(batch, cfg.vision.image_size, len(classes), ctx=ctx,
+                            eot_id=tokenizer.eot_token_id)
     device_batch = {k: jax.device_put(v) for k, v in host_batch.items()}
 
     # NOTE: on the axon relay platform block_until_ready does not actually
@@ -98,7 +179,7 @@ def run(model: str = MODEL, batch: int = BATCH, remat: bool = False) -> dict:
 
     imgs_per_sec = batch * MEASURE_STEPS / dt
     baseline = REFERENCE_V100_IMG_PER_SEC.get(model)
-    return {
+    out = {
         "metric": f"finetune_images_per_sec_per_chip_{model.replace('-', '').lower()}",
         "value": round(imgs_per_sec, 2),
         "unit": "images/s/chip",
@@ -106,6 +187,13 @@ def run(model: str = MODEL, batch: int = BATCH, remat: bool = False) -> dict:
         # baseline report null rather than dividing by another config's
         "vs_baseline": round(imgs_per_sec / baseline, 3) if baseline else None,
     }
+    try:
+        step_tf = analytic_step_tflops(cfg, batch, len(classes), ctx, remat)
+        out["step_tflops"] = round(step_tf, 2)
+        out["flops_per_sec"] = step_tf * 1e12 * MEASURE_STEPS / dt
+    except AttributeError:  # non-ViT tower: no analytic model
+        pass
+    return out
 
 
 def main() -> int:
@@ -123,12 +211,32 @@ def main() -> int:
     for batch, remat in attempts:
         try:
             result = run(batch=batch, remat=remat)
-            print(json.dumps(result))
-            return 0
+            break
         except Exception as e:  # OOM surfaces as opaque remote-compile errors
             last_err = e
+            result = None
             print(f"# bench config (batch={batch}, remat={remat}) failed: {e}", file=sys.stderr)
-    raise SystemExit(f"all bench configs failed: {last_err}")
+    if result is None:
+        raise SystemExit(f"all bench configs failed: {last_err}")
+
+    # robustness fields (VERDICT r3 #2) — never let them sink the headline
+    try:
+        roofline = measure_gemm_roofline()
+        result["gemm_roofline_tflops"] = round(roofline / 1e12, 1)
+        if "flops_per_sec" in result:
+            result["mfu"] = round(result.pop("flops_per_sec") / roofline, 3)
+    except Exception as e:
+        print(f"# gemm roofline failed: {e}", file=sys.stderr)
+        result.pop("flops_per_sec", None)
+    try:
+        ctx_result = run(batch=batch, remat=remat, ctx=PRODUCTION_CTX)
+        result["value_ctx_auto"] = ctx_result["value"]
+        result["ctx_auto"] = PRODUCTION_CTX
+    except Exception as e:
+        print(f"# ctx-cap run failed: {e}", file=sys.stderr)
+
+    print(json.dumps(result))
+    return 0
 
 
 if __name__ == "__main__":

@@ -433,7 +433,22 @@ def main(argv=None) -> int:
             raise SystemExit("--siglip applies to the contrastive baseline "
                              "paths (--method flyp/flyp_gt), matching the "
                              "reference's create_loss wiring")
-        step_fn = make_train_step(cfg, optimizer, hp, table, aug=aug)
+        if args.gamma:
+            # γ ≠ 0 selects the legacy-v1 momentum-prototype trainer — the
+            # only reference path where --gamma has semantics (train.py:
+            # 811-1126, momentum mix at :953; CLI-unreachable there, its
+            # main.py:502-511 always dispatches v2). Without this, the flag
+            # would be accepted-but-inert.
+            from latteclip_tpu.train.step import make_v1_step
+
+            logger.info(
+                "gamma=%g: using the legacy v1 momentum-prototype trainer "
+                "(reference train_one_epoch; detached text anchor, EMA bank "
+                "mix of image features)", args.gamma,
+            )
+            step_fn = make_v1_step(cfg, optimizer, hp, table, gamma=args.gamma, aug=aug)
+        else:
+            step_fn = make_train_step(cfg, optimizer, hp, table, aug=aug)
     else:
         if args.siglip and "logit_bias" not in params:
             # reference SigLIP configs carry init_logit_bias (-10); inject it

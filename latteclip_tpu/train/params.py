@@ -289,7 +289,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--reward-pretrained", type=str, default=None)
     p.add_argument("--alpha", type=float, default=0.01)
     p.add_argument("--beta", type=float, default=0.01)   # accepted for parity
-    p.add_argument("--gamma", type=float, default=0.0)   # accepted for parity
+    p.add_argument("--gamma", type=float, default=0.0,
+                   help="momentum weight of image features in the prototype "
+                        "EMA update; non-zero selects the reference's legacy "
+                        "v1 trainer (train.py:811-1126, mix at :953)")
     p.add_argument("--use-template-caption", type=float, default=1.0)
     p.add_argument("--use-image-caption", type=float, default=1.0)
     p.add_argument("--use-batch-caption", type=float, default=1.0)

@@ -320,6 +320,144 @@ def make_train_step(
 
 
 # ---------------------------------------------------------------------------
+# Legacy v1 trainer (train_one_epoch, train.py:811-1126) — the --gamma path
+# ---------------------------------------------------------------------------
+
+def v1_loss_fn(params, cfg, hp, batch, images, memory_bank, template_table):
+    """Loss of the reference's legacy ``train_one_epoch`` (train.py:811-1126).
+
+    Semantics at the reference's effective configuration (``w = 1.0`` at
+    train.py:898, k = 1 pseudo-label per image — the ``squeeze(1)`` at
+    train.py:938 only type-checks at k == 1):
+
+    * the text stream is the TEMPLATE feature of the zero-shot pseudo-label
+      alone (w=1.0 makes the caption mixing degenerate, train.py:899);
+    * if the bank is initialized (gathered rows not all-zero,
+      train.py:916-925): anchor ``normalize(bank) + α(text − normalize(bank))``
+      — note the bank rows are re-normalized here because v1's bank update
+      does NOT renormalize; else the anchor is the raw label feature;
+    * the anchored text is **detached** (train.py:928-929: "important to not
+      train the text_features") — only the image tower and logit_scale train;
+    * symmetric InfoNCE between normalized image features and the normalized
+      detached anchor (train.py:931-938).
+
+    Returns the loss and the arrays the γ bank update needs.
+    """
+    image_features = clip_mod.encode_image(params, cfg, images, normalize=True, remat=hp.remat)
+    logit_scale = jnp.exp(params["logit_scale"])
+    zs_preds = batch["zs_preds"]
+
+    class_text_feats = clip_mod.encode_text(
+        params, cfg, template_table, normalize=True, remat=hp.text_remat
+    )
+    label_f = class_text_feats[zs_preds]            # [B, E], unit rows
+
+    bank_rows = memory_bank[zs_preds]               # [B, E]
+    # train.py:916: `if membank_features.sum() != 0` over the GATHERED rows
+    initialized = jnp.sum(bank_rows) != 0.0
+    bank_norm = l2_normalize(bank_rows)
+    anchored = jnp.where(
+        initialized,
+        bank_norm + hp.alpha * (label_f - bank_norm),  # train.py:921-925
+        label_f,                                       # train.py:926-927 (init)
+    )
+    anchored = jax.lax.stop_gradient(anchored)         # train.py:928-929
+
+    loss = clip_loss(image_features, l2_normalize(anchored), logit_scale)
+    aux = {
+        "loss": loss,
+        "contrastive_loss": loss,
+        "logit_scale": logit_scale,
+        "anchored": anchored,                           # PRE-normalize, like temp_bank's input
+        "image_features": jax.lax.stop_gradient(image_features),
+    }
+    return loss, aux
+
+
+def v1_update_memory_bank(
+    memory_bank: jnp.ndarray,
+    zs_preds: jnp.ndarray,
+    anchored: jnp.ndarray,
+    image_features: jnp.ndarray,
+    gamma: float,
+) -> jnp.ndarray:
+    """The γ momentum-prototype update of v1 (train.py:941-961).
+
+    Per sample: ``anchored·(1−γ) + normalized_image_feature·γ`` (the EMA
+    pseudo-label update the flag exists for, momentum mix at train.py:953),
+    then a per-class MEAN over the batch — WITHOUT renormalization
+    (train.py:960-961 assigns ``temp_bank/cnt`` directly; contrast v2's
+    renormalized update). Unseen classes keep their rows. The reference
+    mixes the PRE-normalized anchored feature (``membank_features_text_
+    features[i][j]``), not the normalized copy used in the loss.
+    """
+    C = memory_bank.shape[0]
+    feats = (anchored * (1.0 - gamma) + image_features * gamma).astype(jnp.float32)
+    sums = jax.ops.segment_sum(feats, zs_preds, num_segments=C)
+    counts = jax.ops.segment_sum(jnp.ones((feats.shape[0],), jnp.float32), zs_preds, num_segments=C)
+    means = sums / jnp.maximum(counts, 1.0)[:, None]
+    return jnp.where((counts > 0)[:, None], means, memory_bank)
+
+
+def make_v1_step(
+    cfg: CLIPConfig,
+    optimizer: optax.GradientTransformation,
+    hp: LatteHParams,
+    template_table: jnp.ndarray,
+    gamma: float,
+    aug: Optional[T.AugConfig] = None,
+):
+    """Build the legacy-v1 (γ momentum prototype) step.
+
+    The reference CLI cannot reach ``train_one_epoch`` (its main.py:502-511
+    dispatches "ours" to v2 unconditionally), but the γ EMA prototype update
+    only exists there — so here ``--gamma != 0`` selects this step instead of
+    silently doing nothing. A/B'd against the reference's REAL
+    ``train_one_epoch`` in tests/test_reference_driver_oracle.py.
+    """
+    aug = aug or T.AugConfig()
+    template_table = jnp.asarray(template_table)
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        mean, std = T.model_mean_std(cfg)
+        if hp.augment:
+            images = T.train_augment_normalize(
+                batch["images"], rng, aug, mean=mean, std=std,
+                boxes=batch.get("crop_boxes"), size=cfg.vision.image_size,
+            )
+        else:
+            images = T.normalize_images(batch["images"], mean=mean, std=std)
+
+        grad_fn = jax.value_and_grad(v1_loss_fn, has_aux=True)
+        (loss, aux), grads = grad_fn(
+            state.params, cfg, hp, batch, images, state.memory_bank, template_table
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        # the detached anchor leaves the reference's text params with
+        # grad=None, which torch optimizers SKIP (no step, no weight decay);
+        # our zero cotangents would still incur AdamW weight decay — zero the
+        # text-subtree updates to reproduce the skip exactly
+        updates = dict(updates, text=jax.tree.map(jnp.zeros_like, updates["text"]))
+        params = optax.apply_updates(state.params, updates)
+        params = dict(params, logit_scale=jnp.clip(params["logit_scale"], 0.0, LOG100))
+        bank = v1_update_memory_bank(
+            state.memory_bank, batch["zs_preds"], aux["anchored"],
+            aux["image_features"], gamma,
+        )
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state, memory_bank=bank
+        )
+        metrics = {
+            "loss": loss,
+            "contrastive_loss": aux["contrastive_loss"],
+            "logit_scale": aux["logit_scale"],
+        }
+        return new_state, metrics
+
+    return step_fn
+
+
+# ---------------------------------------------------------------------------
 # FLYP baseline (train_one_epoch_original_clip, train.py:76-284)
 # ---------------------------------------------------------------------------
 

@@ -860,3 +860,139 @@ def test_real_v2_two_epochs_schedule_and_eval():
     for k, our_key in ((1, "top1"), (5, "top5"), (10, "top10")):
         assert abs(results[key.format(k)] - ours_eval[our_key]) < 1e-9, (
             k, results[key.format(k)], ours_eval[our_key])
+
+
+def test_real_train_one_epoch_v1_gamma_trajectory():
+    """--gamma conformance against the reference's REAL legacy
+    ``train_one_epoch`` (train.py:811-1126) — the only reference path where
+    γ has semantics (the momentum-prototype EMA mix at train.py:953).
+
+    Drives the real function at its effective configuration (k=1
+    pseudo-label per image — its ``squeeze(1)`` only type-checks there;
+    w=1.0 text mixing) for 3 steps with γ=0.3 and compares per-step losses,
+    the UN-renormalized bank trajectory, and the final parameters against
+    ``make_v1_step``. Also pins the v1 signature facts our step must
+    reproduce: the text tower receives NO update (detached anchor → torch
+    grad=None skip), the vision tower does.
+    """
+    GAMMA = 0.3
+    oc, ref_train = _load_reference_trainer()
+
+    from latteclip_tpu.train.step import make_v1_step
+
+    tok = get_tokenizer()
+    params = init_clip_params(jax.random.PRNGKey(42), CFG)
+    bank0 = np.asarray(init_memory_bank(params, CFG, tok, CLASSES, TEMPLATES))
+    table = build_template_table(tok, CLASSES, TEMPLATES)
+    batches = _make_batches(tok, np.random.default_rng(7))
+    norm_images = [np.asarray(T.normalize_images(b["images"])) for b in batches]
+
+    # --- ours: v1 momentum step, SGD --------------------------------------
+    opt = optax.sgd(LR)
+    state = create_train_state(params, opt, bank0).start_epoch()
+    step = jax.jit(make_v1_step(
+        CFG, opt, LatteHParams(augment=False), table, gamma=GAMMA))
+    our_losses = []
+    for i, b in enumerate(batches):
+        state, metrics = step(state, b, jax.random.PRNGKey(i))
+        our_losses.append(float(metrics["loss"]))
+
+    # --- reference: the real legacy train_one_epoch -----------------------
+    ref_clip = oc.model.CLIP(
+        embed_dim=CFG.embed_dim,
+        vision_cfg={"image_size": 32, "layers": 2, "width": 64, "patch_size": 16},
+        text_cfg={"context_length": 77, "vocab_size": 49408, "width": 64,
+                  "heads": 4, "layers": 2},
+    )
+    sd = {k: torch.from_numpy(v) for k, v in
+          params_to_pt_state_dict(params, CFG).items()}
+    missing, unexpected = ref_clip.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    model = oc.model.CustomCLIP(ref_clip, CLASSES, oc.tokenize)
+    model.init_memory_bank(CLASSES, TEMPLATES)
+    with torch.no_grad():
+        for i, c in enumerate(CLASSES):
+            model.memory_bank[c].copy_(torch.from_numpy(bank0[i]))
+
+    # v1 unpacks: images, distill_images, texts, common_texts, text_raws,
+    #             label_texts, per_image_texts, per_image_group_texts,
+    #             metadata, zeroshot_classnames    (train.py:857-860)
+    # label_texts = template tokens of the zero-shot pseudo-label, [bs,k=1,77]
+    ref_batches = []
+    for b, img in zip(batches, norm_images):
+        images_t = torch.from_numpy(img.transpose(0, 3, 1, 2)).contiguous()
+        label_texts = torch.from_numpy(np.asarray(table)[b["zs_preds"]].astype(np.int64)).unsqueeze(1)
+        per_img = torch.from_numpy(b["per_image_tokens"].astype(np.int64)).unsqueeze(1)
+        per_grp = torch.from_numpy(b["per_group_tokens"].astype(np.int64)).unsqueeze(1)
+        zs_names = [[CLASSES[int(z)]] for z in b["zs_preds"]]
+        ref_batches.append((
+            images_t, images_t.clone(), label_texts.clone(), label_texts.clone(),
+            [""] * B, label_texts, per_img, per_grp,
+            [{} for _ in range(B)], zs_names,
+        ))
+
+    data = {"train": _StubTrainData(_StubLoader(ref_batches))}
+    args = _reference_args()
+    args.gamma = GAMMA
+    writer = _CaptureWriter()
+    text_sd_before = {k: v.detach().clone() for k, v in ref_clip.state_dict().items()
+                      if k.startswith(("transformer.", "token_embedding",
+                                       "positional_embedding", "text_projection",
+                                       "ln_final"))}
+    ref_train.train_one_epoch(
+        model, data, oc.ClipLoss(), 0,
+        torch.optim.SGD(model.parameters(), lr=LR, momentum=0.0),
+        None, None, None, args, tb_writer=writer,
+    )
+
+    # signature fact: v1 trains the IMAGE tower only (detached text anchor)
+    ref_sd = {k: v.detach().numpy() for k, v in ref_clip.state_dict().items()}
+    for k, v_before in text_sd_before.items():
+        np.testing.assert_array_equal(ref_sd[k], v_before.numpy(),
+                                      err_msg=f"reference text param {k} moved")
+    ours_sd = params_to_pt_state_dict(state.params, CFG)
+    init_sd = params_to_pt_state_dict(params, CFG)
+    for k in text_sd_before:
+        np.testing.assert_array_equal(ours_sd[k], init_sd[k],
+                                      err_msg=f"our text param {k} moved")
+    assert not np.allclose(ours_sd["visual.conv1.weight"],
+                           init_sd["visual.conv1.weight"])
+
+    # trajectories
+    ref_losses = writer.scalars["train/loss"]
+    assert len(ref_losses) == STEPS
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=0, atol=2e-4)
+
+    ref_bank = np.stack([model.memory_bank[c].detach().numpy() for c in CLASSES])
+    np.testing.assert_allclose(
+        np.asarray(state.memory_bank), ref_bank, rtol=0, atol=5e-4)
+    # v1's bank update does NOT renormalize — pin that the trajectory is
+    # actually off the unit sphere, so the comparison is meaningful
+    norms = np.linalg.norm(ref_bank, axis=1)
+    assert (np.abs(norms - 1.0) > 1e-3).any(), norms
+
+    for key, v in ours_sd.items():
+        np.testing.assert_allclose(v, ref_sd[key], rtol=0, atol=2e-3, err_msg=key)
+
+
+def test_v1_step_uninitialized_bank_branch():
+    """v1's init branch (train.py:926-927): an all-zero bank makes the anchor
+    the raw label feature, and the first update fills seen classes with the
+    γ-mixed mean while unseen classes stay zero."""
+    from latteclip_tpu.train.step import make_v1_step
+
+    tok = get_tokenizer()
+    params = init_clip_params(jax.random.PRNGKey(1), CFG)
+    table = build_template_table(tok, CLASSES, TEMPLATES)
+    bank0 = np.zeros((len(CLASSES), CFG.embed_dim), np.float32)
+    opt = optax.sgd(LR)
+    state = create_train_state(params, opt, bank0).start_epoch()
+    step = jax.jit(make_v1_step(
+        CFG, opt, LatteHParams(augment=False), table, gamma=0.5))
+    b = _make_batches(tok, np.random.default_rng(3))[0]
+    b = dict(b, zs_preds=np.array([0, 1] * (B // 2), np.int32))  # classes 2,3 unseen
+    state, metrics = step(state, b, jax.random.PRNGKey(0))
+    bank = np.asarray(state.memory_bank)
+    assert np.abs(bank[:2]).sum() > 0
+    np.testing.assert_array_equal(bank[2:], 0.0)
+    assert np.isfinite(float(metrics["loss"]))
