@@ -612,6 +612,99 @@ def _swin_visual_to_sd(v: Dict[str, Any], cfg) -> Dict[str, np.ndarray]:
     return sd
 
 
+def _relpos_visual_from_sd(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """timm VisionTransformerRelPos keys (``visual.trunk.blocks.{i}.*`` via
+    the reference TimmModel wrapper, timm_model.py:73-108) -> relpos pytree.
+
+    Shape-driven where the registry carries transcription assumptions (see
+    models/vit_relpos.py docstring): the rel-pos MLP hidden dim comes from
+    ``attn.rel_pos.mlp.fc1.weight``'s own shape, and LayerScale gammas
+    default to ones when the checkpoint has no ``ls1.gamma`` (a trunk
+    trained with ``init_values=None``). ``rel_coords_log`` /
+    ``relative_position_index`` buffers are derived, not loaded."""
+    from latteclip_tpu.models.vit_relpos import RELPOS_TRUNKS
+
+    def f32(key):
+        return np.asarray(sd[key], np.float32)
+
+    t = RELPOS_TRUNKS[cfg.trunk]
+    P, D = t["patch_size"], t["width"]
+    conv = f32("visual.trunk.patch_embed.proj.weight")
+    blocks = []
+    for i in range(t["layers"]):
+        pre = f"visual.trunk.blocks.{i}"
+        blocks.append({
+            "ln_1_scale": f32(f"{pre}.norm1.weight"),
+            "ln_1_bias": f32(f"{pre}.norm1.bias"),
+            "in_proj_w": f32(f"{pre}.attn.qkv.weight").T,
+            "mlp_fc1_w": f32(f"{pre}.attn.rel_pos.mlp.fc1.weight").T,
+            "mlp_fc1_b": f32(f"{pre}.attn.rel_pos.mlp.fc1.bias"),
+            "mlp_fc2_w": f32(f"{pre}.attn.rel_pos.mlp.fc2.weight").T,
+            "mlp_fc2_b": f32(f"{pre}.attn.rel_pos.mlp.fc2.bias"),
+            "out_proj_w": f32(f"{pre}.attn.proj.weight").T,
+            "out_proj_b": f32(f"{pre}.attn.proj.bias"),
+            "ls_1": (f32(f"{pre}.ls1.gamma") if f"{pre}.ls1.gamma" in sd
+                     else np.ones((D,), np.float32)),
+            "ln_2_scale": f32(f"{pre}.norm2.weight"),
+            "ln_2_bias": f32(f"{pre}.norm2.bias"),
+            "c_fc_w": f32(f"{pre}.mlp.fc1.weight").T,
+            "c_fc_b": f32(f"{pre}.mlp.fc1.bias"),
+            "c_proj_w": f32(f"{pre}.mlp.fc2.weight").T,
+            "c_proj_b": f32(f"{pre}.mlp.fc2.bias"),
+            "ls_2": (f32(f"{pre}.ls2.gamma") if f"{pre}.ls2.gamma" in sd
+                     else np.ones((D,), np.float32)),
+        })
+    return {
+        "patch_kernel": conv.transpose(2, 3, 1, 0).reshape(P * P * 3, D),
+        "patch_bias": f32("visual.trunk.patch_embed.proj.bias"),
+        "class_embedding": f32("visual.trunk.cls_token").reshape(D),
+        "blocks": blocks,
+        "norm_scale": f32("visual.trunk.norm.weight"),
+        "norm_bias": f32("visual.trunk.norm.bias"),
+        "proj": f32("visual.head.proj.weight").T.copy(),
+    }
+
+
+def _relpos_visual_to_sd(v: Dict[str, Any], cfg) -> Dict[str, np.ndarray]:
+    from latteclip_tpu.models.vit_relpos import RELPOS_TRUNKS
+
+    def t_(w):
+        return np.ascontiguousarray(np.asarray(w, np.float32).T)
+
+    t = RELPOS_TRUNKS[cfg.trunk]
+    P = t["patch_size"]
+    D = np.asarray(v["norm_scale"]).shape[0]
+    conv = np.asarray(v["patch_kernel"], np.float32).reshape(P, P, 3, D).transpose(3, 2, 0, 1)
+    sd: Dict[str, np.ndarray] = {
+        "visual.trunk.patch_embed.proj.weight": np.ascontiguousarray(conv),
+        "visual.trunk.patch_embed.proj.bias": np.asarray(v["patch_bias"], np.float32),
+        "visual.trunk.cls_token": np.asarray(v["class_embedding"], np.float32).reshape(1, 1, D),
+        "visual.trunk.norm.weight": np.asarray(v["norm_scale"], np.float32),
+        "visual.trunk.norm.bias": np.asarray(v["norm_bias"], np.float32),
+        "visual.head.proj.weight": t_(v["proj"]),
+    }
+    for i, b in enumerate(v["blocks"]):
+        pre = f"visual.trunk.blocks.{i}"
+        sd[f"{pre}.norm1.weight"] = np.asarray(b["ln_1_scale"], np.float32)
+        sd[f"{pre}.norm1.bias"] = np.asarray(b["ln_1_bias"], np.float32)
+        sd[f"{pre}.attn.qkv.weight"] = t_(b["in_proj_w"])
+        sd[f"{pre}.attn.rel_pos.mlp.fc1.weight"] = t_(b["mlp_fc1_w"])
+        sd[f"{pre}.attn.rel_pos.mlp.fc1.bias"] = np.asarray(b["mlp_fc1_b"], np.float32)
+        sd[f"{pre}.attn.rel_pos.mlp.fc2.weight"] = t_(b["mlp_fc2_w"])
+        sd[f"{pre}.attn.rel_pos.mlp.fc2.bias"] = np.asarray(b["mlp_fc2_b"], np.float32)
+        sd[f"{pre}.attn.proj.weight"] = t_(b["out_proj_w"])
+        sd[f"{pre}.attn.proj.bias"] = np.asarray(b["out_proj_b"], np.float32)
+        sd[f"{pre}.ls1.gamma"] = np.asarray(b["ls_1"], np.float32)
+        sd[f"{pre}.norm2.weight"] = np.asarray(b["ln_2_scale"], np.float32)
+        sd[f"{pre}.norm2.bias"] = np.asarray(b["ln_2_bias"], np.float32)
+        sd[f"{pre}.mlp.fc1.weight"] = t_(b["c_fc_w"])
+        sd[f"{pre}.mlp.fc1.bias"] = np.asarray(b["c_fc_b"], np.float32)
+        sd[f"{pre}.mlp.fc2.weight"] = t_(b["c_proj_w"])
+        sd[f"{pre}.mlp.fc2.bias"] = np.asarray(b["c_proj_b"], np.float32)
+        sd[f"{pre}.ls2.gamma"] = np.asarray(b["ls_2"], np.float32)
+    return sd
+
+
 def _convnext_visual_from_sd(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
     """``visual.trunk.*`` / ``visual.head.*`` ConvNeXt keys (timm layout via
     the reference TimmModel wrapper, timm_model.py:73-108) -> convnext
@@ -838,12 +931,15 @@ def pt_state_dict_to_params(
     eva = trunk.startswith("eva")
     timm_vit = bool(trunk) and not eva
     eva2 = isinstance(cfg.vision, Eva02VisionConfig)
-    from latteclip_tpu.core.config import SwinVisionConfig
+    from latteclip_tpu.core.config import RelPosVisionConfig, SwinVisionConfig
 
     swin = isinstance(cfg.vision, SwinVisionConfig)
+    relpos = isinstance(cfg.vision, RelPosVisionConfig)
     if (isinstance(cfg.vision, (ResNetVisionConfig, ConvNeXtVisionConfig))
-            or eva or eva2 or timm_vit or swin):
-        if swin:
+            or eva or eva2 or timm_vit or swin or relpos):
+        if relpos:
+            visual = _relpos_visual_from_sd(sd, cfg.vision)
+        elif swin:
             visual = _swin_visual_from_sd(sd, cfg.vision)
         elif eva2:
             visual = _eva02_visual_from_sd(sd, cfg.vision)
@@ -965,12 +1061,15 @@ def params_to_pt_state_dict(
     eva = trunk.startswith("eva")
     timm_vit = bool(trunk) and not eva
     eva2 = isinstance(cfg.vision, Eva02VisionConfig)
-    from latteclip_tpu.core.config import SwinVisionConfig
+    from latteclip_tpu.core.config import RelPosVisionConfig, SwinVisionConfig
 
     swin = isinstance(cfg.vision, SwinVisionConfig)
+    relpos = isinstance(cfg.vision, RelPosVisionConfig)
     if (isinstance(cfg.vision, (ResNetVisionConfig, ConvNeXtVisionConfig))
-            or eva or eva2 or timm_vit or swin):
-        if swin:
+            or eva or eva2 or timm_vit or swin or relpos):
+        if relpos:
+            sd = _relpos_visual_to_sd(v, cfg.vision)
+        elif swin:
             sd = _swin_visual_to_sd(v, cfg.vision)
         elif eva2:
             sd = _eva02_visual_to_sd(v, cfg.vision)

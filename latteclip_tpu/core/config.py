@@ -162,6 +162,24 @@ class SwinVisionConfig:
         return t["embed_dim"] * 2 ** (len(t["depths"]) - 1)
 
 
+@dataclasses.dataclass(frozen=True)
+class RelPosVisionConfig:
+    """VisionTransformerRelPos trunk (reference reaches it via timm
+    ``vit_relpos_medium_patch16_cls_224``; native implementation in
+    models/vit_relpos.py — rel-pos-MLP attention bias, no absolute pos
+    embed; see its module docstring for the transcription caveats)."""
+
+    trunk: str = "vit_relpos_medium_patch16_cls_224"
+    image_size: int = 224
+    ln_eps: float = 1e-6
+
+    @property
+    def embed_width(self) -> int:
+        from latteclip_tpu.models.vit_relpos import RELPOS_TRUNKS
+
+        return RELPOS_TRUNKS[self.trunk]["width"]
+
+
 # Published EVA02-CLIP trunk shapes (EVA-02 arXiv 2303.11331 Table 2;
 # EVA-CLIP arXiv 2303.15389 Table 1). The enormous tower is EVA-CLIP's
 # pre-TrV giant: plain MLP, no rope, post-norm.
@@ -300,6 +318,13 @@ def config_from_dict(name: str, raw: Dict[str, Any]) -> CLIPConfig:
             image_size=int(vision_raw.get("image_size", 224)),
             **EVA02_TRUNKS[timm_name],
         )
+    elif timm_name is not None and timm_name.startswith("vit_relpos"):
+        from latteclip_tpu.models.vit_relpos import RELPOS_TRUNKS
+
+        if timm_name not in RELPOS_TRUNKS:
+            raise ValueError(f"unknown vit_relpos trunk '{timm_name}'")
+        vision = RelPosVisionConfig(
+            trunk=timm_name, image_size=int(vision_raw.get("image_size", 224)))
     elif timm_name is not None and timm_name.startswith("swin"):
         from latteclip_tpu.models.swin import SWIN_TRUNKS
 
@@ -391,12 +416,12 @@ def config_from_dict(name: str, raw: Dict[str, Any]) -> CLIPConfig:
 # either resolves here or appears in this list — nothing goes missing
 # silently. Re-check the gates each round (e.g. if timm lands in the image).
 GATED_CONFIGS: Dict[str, str] = {
-    "vit_relpos_medium_patch16_cls_224": (
-        "timm-ONLY experimental trunk (VisionTransformerRelPos, rel-pos-MLP "
-        "bias): unlike EVA02/swin there is no published paper specifying it "
-        "— with timm absent, no weights, and zero egress there is nothing "
-        "authoritative to implement from; a guessed port would silently "
-        "mis-load real timm checkpoints"),
+    # (empty since round 4: vit_relpos_medium_patch16_cls_224 — the last
+    # gated config — is now implemented natively in models/vit_relpos.py.
+    # SNIPPETS retrieval for timm's vision_transformer_relpos.py returned
+    # nothing, so two registry values are transcribed-from-knowledge
+    # assumptions; the checkpoint importer is shape-driven and
+    # self-correcting — see the module docstring and PRODUCTION.md.)
 }
 
 

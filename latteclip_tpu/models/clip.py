@@ -20,6 +20,7 @@ from latteclip_tpu.core.config import (
     CLIPConfig,
     ConvNeXtVisionConfig,
     Eva02VisionConfig,
+    RelPosVisionConfig,
     ResNetVisionConfig,
     SwinVisionConfig,
     get_model_config,
@@ -48,6 +49,10 @@ def init_clip_params(rng: jax.Array, cfg: CLIPConfig) -> Params:
         from latteclip_tpu.models import swin as swin_mod
 
         visual = swin_mod.init_swin_params(kv, cfg.vision, cfg.embed_dim)
+    elif isinstance(cfg.vision, RelPosVisionConfig):
+        from latteclip_tpu.models import vit_relpos as relpos_mod
+
+        visual = relpos_mod.init_relpos_params(kv, cfg.vision, cfg.embed_dim)
     else:
         visual = vit_mod.init_vit_params(kv, cfg.vision, cfg.embed_dim)
     from latteclip_tpu.models.hf_text import HFTextConfig, init_hf_text_params
@@ -104,6 +109,13 @@ def encode_image(
         from latteclip_tpu.models import swin as swin_mod
 
         feats = swin_mod.swin_forward(
+            params["visual"], cfg.vision, images,
+            dtype=_dtype(cfg), remat=remat, train=train, rng=rng,
+        )
+    elif isinstance(cfg.vision, RelPosVisionConfig):
+        from latteclip_tpu.models import vit_relpos as relpos_mod
+
+        feats = relpos_mod.relpos_forward(
             params["visual"], cfg.vision, images,
             dtype=_dtype(cfg), remat=remat, train=train, rng=rng,
         )
