@@ -119,6 +119,44 @@ def attention_core_qkv(
     return out.reshape(B, L, HD)
 
 
+def attention_core_qkv_segmented(
+    qkv: jnp.ndarray,
+    num_heads: int,
+    seg_ids: jnp.ndarray,
+    causal: bool = True,
+    dtype: jnp.dtype = jnp.bfloat16,
+) -> jnp.ndarray:
+    """Segment-masked attention on packed variable-length rows.
+
+    ``qkv``: [R, P, 3*H*D]; ``seg_ids``: [R, P] int32 (0 = padding). Tokens
+    attend within their own segment only (causally when ``causal``) — the
+    compute core of true sequence packing (data/packing.py). Routes to the
+    pallas kernel on TPU, plain XLA elsewhere.
+    """
+    head_dim = qkv.shape[-1] // 3 // num_heads
+    if _pallas_enabled() and head_dim in (64, 128):
+        from latteclip_tpu.kernels.attention import flash_attention_qkv_segmented
+
+        return flash_attention_qkv_segmented(
+            qkv.astype(dtype), num_heads, seg_ids, causal
+        )
+    B, L, HD3 = qkv.shape
+    HD = HD3 // 3
+    D = HD // num_heads
+    same = seg_ids[:, :, None] == seg_ids[:, None, :]       # [B, L, L]
+    bias = jnp.where(same, 0.0, -1e9).astype(jnp.float32)[:, None]  # [B,1,L,L]
+    q, k, v = qkv[:, :, :HD], qkv[:, :, HD:2 * HD], qkv[:, :, 2 * HD:]
+    out = xla_attention(
+        q.reshape(B, L, num_heads, D),
+        k.reshape(B, L, num_heads, D),
+        v.reshape(B, L, num_heads, D),
+        causal,
+        dtype=dtype,
+        bias=bias,
+    )
+    return out.reshape(B, L, HD)
+
+
 def attention_core(
     q: jnp.ndarray,
     k: jnp.ndarray,

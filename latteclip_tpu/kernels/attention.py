@@ -376,6 +376,217 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# -- segment-masked attention (true variable-length sequence packing) ---------
+#
+# Packs REAL-length sequences end to end into [R, P] rows (host-side packer:
+# data/packing.py) and masks attention to within-segment entries, so the
+# whole text tower runs on ~sum(len_i) tokens instead of B*ctx. Unlike the
+# block-diagonal fixed-length packing above (a measured VPU loser — padded
+# score entries double per sequence), real-length packing at P=128 CUTS both
+# the VPU score entries per sequence (P*P/nseq ~ 4.1k vs ctx-48's 48*128 =
+# 6.1k) and the MLP/LN token count (~mean_len vs cap tokens per sequence).
+# The mask is synthesised in-kernel from a [G, P] int32 segment-id tile
+# (0 = padding); no [P, P] bias is streamed from HBM.
+
+
+def _seg_bias(seg: jnp.ndarray, causal: bool) -> jnp.ndarray:
+    """[G, L] int32 segment ids -> additive [G, L, L] f32 score bias.
+
+    Entry (g, i, j) is 0 when token j is visible to token i: same segment
+    and (if causal) j <= i. Padding (seg 0) rows self-attend harmlessly —
+    their outputs are sliced away by the EOT gather."""
+    L = seg.shape[1]
+    same = seg[:, :, None] == seg[:, None, :]
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+        same = same & (cols <= rows)[None]
+    return jnp.where(same, 0.0, NEG_INF).astype(jnp.float32)
+
+
+def _fwd_bytes_seg(g: int, l: int, hd: int) -> int:
+    return _fwd_bytes_legacy(g, l, hd) + g * l * 4 + g * l * l * 4
+
+
+def _bwd_bytes_seg(g: int, l: int, hd: int) -> int:
+    return _bwd_bytes_legacy(g, l, hd) + g * l * 4 + g * l * l * 4
+
+
+def _fwd_kernel_seg(qkv_ref, seg_ref, o_ref, lse_ref, *, qscale, H, D, causal):
+    L = qkv_ref.shape[1]
+    HD = H * D
+    bias = _seg_bias(seg_ref[...], causal)                  # [G, L, L]
+    for h in range(H):
+        sl = slice(h * D, (h + 1) * D)
+        q = qkv_ref[:, :, sl].astype(jnp.float32)
+        k = qkv_ref[:, :, HD + h * D:HD + (h + 1) * D].astype(jnp.bfloat16)
+        v = qkv_ref[:, :, 2 * HD + h * D:2 * HD + (h + 1) * D].astype(jnp.bfloat16)
+        qs = (q * qscale).astype(jnp.bfloat16)
+        s2 = jax.lax.dot_general(qs, k, _QKT, preferred_element_type=jnp.float32)
+        s2 = s2 + bias
+        m2 = jnp.max(s2, axis=-1, keepdims=True)
+        pb = jnp.exp2(s2 - m2).astype(jnp.bfloat16)
+        l = jnp.sum(pb, axis=-1, keepdims=True, dtype=jnp.float32)
+        o = jax.lax.dot_general(pb, v, _PV, preferred_element_type=jnp.float32) / l
+        o_ref[:, :, sl] = o.astype(o_ref.dtype)
+        lse_ref[:, h, :] = m2[..., 0] + jnp.log2(l[..., 0])
+
+
+def _bwd_kernel_seg(qkv_ref, seg_ref, o_ref, do_ref, lse_ref, dqkv_ref,
+                    *, qscale, scale, H, D, causal):
+    L = qkv_ref.shape[1]
+    HD = H * D
+    bias = _seg_bias(seg_ref[...], causal)
+    for h in range(H):
+        sl = slice(h * D, (h + 1) * D)
+        q = qkv_ref[:, :, sl].astype(jnp.bfloat16)
+        k = qkv_ref[:, :, HD + h * D:HD + (h + 1) * D].astype(jnp.bfloat16)
+        v = qkv_ref[:, :, 2 * HD + h * D:2 * HD + (h + 1) * D].astype(jnp.bfloat16)
+        o = o_ref[:, :, sl].astype(jnp.bfloat16)
+        do = do_ref[:, :, sl].astype(jnp.bfloat16)
+        lse2 = lse_ref[:, h, :]
+
+        qs = (q.astype(jnp.float32) * qscale).astype(jnp.bfloat16)
+        s2 = jax.lax.dot_general(qs, k, _QKT, preferred_element_type=jnp.float32)
+        s2 = s2 + bias
+        p = jnp.exp2(s2 - lse2[..., None])
+        pb = p.astype(jnp.bfloat16)
+
+        dv = jax.lax.dot_general(pb, do, _PT_DO, preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, _QKT, preferred_element_type=jnp.float32)
+        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=-1, keepdims=True)
+        ds = (p * (dp - delta) * scale).astype(jnp.bfloat16)
+        dq = jax.lax.dot_general(ds, k, _PV, preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds, q, _PT_DO, preferred_element_type=jnp.float32)
+        dqkv_ref[:, :, sl] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, HD + h * D:HD + (h + 1) * D] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, 2 * HD + h * D:2 * HD + (h + 1) * D] = dv.astype(dqkv_ref.dtype)
+
+
+def _flash_fwd_seg_impl(qkv, seg, causal: bool, num_heads: int):
+    dtype = qkv.dtype
+    B, L, HD3 = qkv.shape
+    HD = HD3 // 3
+    D = HD // num_heads
+    qscale = (D ** -0.5) * LOG2E
+    G = _group_size_legacy(L, HD, _fwd_bytes_seg)
+    qkv = _pad_rows(qkv, G)
+    seg = _pad_rows(seg, G)
+    Bp = qkv.shape[0]
+    cost = pl.CostEstimate(
+        flops=4 * B * num_heads * L * L * D,
+        bytes_accessed=4 * B * L * HD * 2,
+        transcendentals=B * num_heads * L * L,
+    )
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel_seg, qscale=qscale, H=num_heads, D=D,
+                          causal=causal),
+        grid=(Bp // G,),
+        in_specs=[
+            pl.BlockSpec((G, L, HD3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((G, L, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, num_heads, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, L, HD), dtype),
+            jax.ShapeDtypeStruct((Bp, num_heads, L), jnp.float32),
+        ],
+        cost_estimate=cost,
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(qkv, seg)
+    if Bp != B:
+        o, lse = o[:B], lse[:B]
+    return o, lse
+
+
+def _make_fa_seg(num_heads: int):
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+    def fa(qkv, seg, causal=True):
+        return _flash_fwd_seg_impl(qkv, seg, causal, num_heads)
+
+    def fwd(qkv, seg, causal):
+        from jax.ad_checkpoint import checkpoint_name
+
+        o, lse = _flash_fwd_seg_impl(qkv, seg, causal, num_heads)
+        o = checkpoint_name(o, "flash_out")
+        lse = checkpoint_name(lse, "flash_lse")
+        return (o, lse), (qkv, seg, o, lse)
+
+    def bwd(causal, res, cots):
+        import numpy as _np
+
+        g, _g_lse = cots
+        qkv, seg, o, lse = res
+        B, L, HD3 = qkv.shape
+        HD = HD3 // 3
+        D = HD // num_heads
+        scale = D ** -0.5
+        qscale = scale * LOG2E
+        G = _group_size_legacy(L, HD, _bwd_bytes_seg, which="bwd")
+        qkv = _pad_rows(qkv, G)
+        seg = _pad_rows(seg, G)
+        o = _pad_rows(o, G)
+        do = _pad_rows(g.astype(qkv.dtype), G)
+        lse = _pad_rows(lse, G)
+        Bp = qkv.shape[0]
+        cost = pl.CostEstimate(
+            flops=11 * B * num_heads * L * L * D,
+            bytes_accessed=10 * B * L * HD * 2,
+            transcendentals=B * num_heads * L * L,
+        )
+        dqkv = pl.pallas_call(
+            functools.partial(_bwd_kernel_seg, qscale=qscale, scale=scale,
+                              H=num_heads, D=D, causal=causal),
+            grid=(Bp // G,),
+            in_specs=[
+                pl.BlockSpec((G, L, HD3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, L, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, L, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, num_heads, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((G, L, HD3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Bp, L, HD3), qkv.dtype),
+            cost_estimate=cost,
+            compiler_params=_compiler_params(),
+            interpret=_interpret(),
+        )(qkv, seg, o, do, lse)
+        if Bp != B:
+            dqkv = dqkv[:B]
+        # integer segment ids take a float0 cotangent
+        dseg = _np.zeros((B, L), dtype=jax.dtypes.float0)
+        return (dqkv, dseg)
+
+    fa.defvjp(fwd, bwd)
+    return fa
+
+
+_FA_SEG_CACHE = {}
+
+
+def flash_attention_qkv_segmented(
+    qkv: jnp.ndarray,
+    num_heads: int,
+    seg_ids: jnp.ndarray,
+    causal: bool = True,
+) -> jnp.ndarray:
+    """Segment-masked fused attention on packed variable-length rows.
+
+    ``qkv``: [R, P, 3*H*D] packed projection output; ``seg_ids``: [R, P]
+    int32, 0 = padding, equal ids = same sequence. Tokens attend only
+    within their own segment (causally when ``causal``). Returns [R, P, H*D].
+    """
+    if num_heads not in _FA_SEG_CACHE:
+        _FA_SEG_CACHE[num_heads] = _make_fa_seg(num_heads)
+    out, _lse = _FA_SEG_CACHE[num_heads](qkv, seg_ids.astype(jnp.int32), causal)
+    return out
+
+
 # -- block-diagonal head folding (short L) -----------------------------------
 #
 # At L<=128 the whole-row kernel's per-head dots ([77,64]x[64,77]) are MXU

@@ -151,6 +151,7 @@ def residual_block(
     dtype: jnp.dtype,
     tower: str = "",
     ln_eps: float = LN_EPS,
+    seg_ids: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Pre-LN residual attention block (reference transformer.py:231-243).
 
@@ -162,13 +163,16 @@ def residual_block(
     """
     from jax.ad_checkpoint import checkpoint_name
 
-    from latteclip_tpu.kernels import attention_core_qkv
+    from latteclip_tpu.kernels import attention_core_qkv, attention_core_qkv_segmented
     from latteclip_tpu.kernels.fused_ln_linear import ln_linear
 
     qkv = ln_linear(x, p["ln_1_scale"], p["ln_1_bias"], p["in_proj_w"], p["in_proj_b"], dtype, eps=ln_eps)
     # pinning this skips the LN+QKV GEMM recompute in backward
     qkv = checkpoint_name(qkv, f"qkv_proj{tower}")
-    attn = attention_core_qkv(qkv, num_heads, causal, dtype=dtype)
+    if seg_ids is not None:  # packed variable-length rows (data/packing.py)
+        attn = attention_core_qkv_segmented(qkv, num_heads, seg_ids, causal, dtype=dtype)
+    else:
+        attn = attention_core_qkv(qkv, num_heads, causal, dtype=dtype)
     attn = dense(attn, p["out_proj_w"], p["out_proj_b"], dtype)
     if "ls_1_gamma" in p:  # LayerScale (reference transformer.py:39-46,241-242)
         attn = attn * p["ls_1_gamma"].astype(dtype)
@@ -194,11 +198,13 @@ def transformer_stack(
     remat: bool = False,
     tower: str = "",
     ln_eps: float = LN_EPS,
+    seg_ids: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Run a stack of residual blocks via lax.scan over the layer axis."""
 
     def body(carry, layer_params):
-        out = residual_block(carry, layer_params, num_heads, causal, act, dtype, tower, ln_eps)
+        out = residual_block(carry, layer_params, num_heads, causal, act, dtype,
+                             tower, ln_eps, seg_ids=seg_ids)
         return out, None
 
     if remat:

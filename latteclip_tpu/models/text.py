@@ -91,6 +91,43 @@ def text_forward_embeds(
     return out.astype(jnp.float32)
 
 
+def text_forward_packed(
+    params: Params,
+    cfg: TextConfig,
+    tokens: jnp.ndarray,
+    positions: jnp.ndarray,
+    seg_ids: jnp.ndarray,
+    eot_row: jnp.ndarray,
+    eot_col: jnp.ndarray,
+    *,
+    dtype: jnp.dtype = jnp.bfloat16,
+    quick_gelu: bool = False,
+    remat: bool = False,
+    gelu_tanh: bool = False,
+) -> jnp.ndarray:
+    """Variable-length PACKED rows -> pooled features [N, embed_dim] (f32).
+
+    ``tokens``/``positions``/``seg_ids``: [R, P] from data.packing — real
+    caption token runs packed end to end; ``eot_row``/``eot_col``: [N] the
+    packed coordinates of each sequence's EOT token. Numerically equivalent
+    to :func:`text_forward` on the padded [N, ctx] layout (causal masking +
+    EOT pooling make later/foreign columns invisible — same argument as
+    ``--text-context-cap``, tests/test_packing.py pins it) while running the
+    whole tower on ~sum(len) tokens instead of N*ctx.
+    """
+    act = layers.quick_gelu if quick_gelu else (layers.gelu_tanh if gelu_tanh else layers.gelu)
+    x = params["token_embedding"][tokens].astype(dtype)             # [R, P, D]
+    x = x + params["pos_embed"][positions].astype(dtype)
+    x = layers.transformer_stack(
+        x, params["blocks"], cfg.heads, not cfg.no_causal_mask, act, dtype,
+        remat=remat, tower="_t", ln_eps=cfg.ln_eps, seg_ids=seg_ids,
+    )
+    x = layers.layer_norm(x, params["ln_final_scale"], params["ln_final_bias"], cfg.ln_eps)
+    pooled = x[eot_row, eot_col]                                    # [N, D]
+    out = layers.dense(pooled, params["text_projection"], params.get("text_projection_b"), dtype)
+    return out.astype(jnp.float32)
+
+
 def text_forward(
     params: Params,
     cfg: TextConfig,
