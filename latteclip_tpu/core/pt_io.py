@@ -86,6 +86,11 @@ def _rebuild_parameter(tensor, requires_grad=None, hooks=None):
     return tensor
 
 
+class _AttrDict(dict):
+    """dict that accepts pickle BUILD attribute state (OrderedDict with
+    ``_metadata``, as torch ``Module.state_dict()`` produces)."""
+
+
 class _Placeholder:
     """Stand-in for any torch class we don't model (optimizer state etc.)."""
 
@@ -123,7 +128,10 @@ class _Unpickler(pickle.Unpickler):
         if module.startswith("torch") and name == "Size":
             return tuple
         if module == "collections" and name == "OrderedDict":
-            return dict
+            # torch state_dicts are OrderedDicts with a ``_metadata``
+            # attribute set via pickle BUILD; plain dict has no __dict__,
+            # so use a subclass that can absorb the attribute state
+            return _AttrDict
         if module.startswith("torch") or module.startswith("numpy"):
             return _Placeholder
         return super().find_class(module, name)

@@ -75,6 +75,9 @@ class LoopConfig:
     profile_dir: Optional[str] = None
     profile_start_step: int = 3
     profile_num_steps: int = 5
+    # schedule(step) -> lr, for the per-step "LR:" log field (reference
+    # train.py:605 logs optimizer.param_groups[0]['lr'])
+    lr_schedule: Optional[object] = None
 
 
 def _host_local_eval_state(state: TrainState) -> TrainState:
@@ -232,12 +235,18 @@ def train(
             if is_master and (i % loop_cfg.log_every_n_steps == 0 or i == pipeline.steps_per_epoch - 1):
                 meters = bank.fetch()  # ONE host sync for all scalars
                 host_metrics = {k: m.val for k, m in meters.items()}
+                # reference train.py:602-607 logs the CURRENT param-group lr,
+                # i.e. the schedule already stepped for this batch
+                lr_str = (
+                    " LR: %f" % float(loop_cfg.lr_schedule(int(state.step) - 1))
+                    if loop_cfg.lr_schedule is not None else ""
+                )
                 logger.info(
-                    "Train Epoch: %d [%d/%d] Data (t): %.3f Batch (t): %.3f, %#g/s, %#g/s/chip "
+                    "Train Epoch: %d [%d/%d] Data (t): %.3f Batch (t): %.3f, %#g/s, %#g/s/chip%s "
                     "Logit Scale: %.3f Loss: %.5g (%.5g)",
                     epoch, (i + 1) * pipeline.cfg.batch_size, pipeline.num_samples,
                     thr.data_time.avg, thr.batch_time.avg,
-                    thr.samples_per_second, thr.samples_per_second_per_chip,
+                    thr.samples_per_second, thr.samples_per_second_per_chip, lr_str,
                     meters["logit_scale"].val, meters["loss"].val, meters["loss"].avg,
                 )
                 # reference train.py:599-607: per-log-point train/* scalars

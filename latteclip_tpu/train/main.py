@@ -325,6 +325,47 @@ def main(argv=None) -> int:
         bank = init_memory_bank(params, cfg, tokenizer, classnames, templates)
         logger.info("initialized memory bank from templates (%d classes)", len(classnames))
 
+    # ---- eval-only mode (reference main.py:474-494: no train data ->
+    # evaluate once and exit) --------------------------------------------------
+    if not args.train_data and not synthetic_mode:
+        if not args.zeroshot_eval_data:
+            raise SystemExit(
+                "At least one train or eval dataset must be specified."
+            )
+        import optax
+
+        from latteclip_tpu.train.loop import evaluate_zero_shot
+
+        start_epoch = 0
+        if args.resume and args.resume != "latest" and not args.pretrained:
+            # reference eval-only loads the checkpoint via --resume
+            # (main.py:367-394); --pretrained reaches the same loader
+            from latteclip_tpu.obs.file_sync import pt_load_path
+
+            params, r_bank, r_meta = ckpt.load_clip_pt(pt_load_path(args.resume), cfg)
+            start_epoch = int(r_meta.get("epoch", 0))
+            if r_bank and all(c in r_bank for c in classnames):
+                bank = np.stack([r_bank[c] for c in classnames])
+            logger.info("loaded eval checkpoint %s (epoch %d)", args.resume, start_epoch)
+
+        eval_state = create_train_state(params, optax.identity(), bank)
+        metrics = evaluate_zero_shot(
+            eval_state, cfg, val_dataset, args.eval_batch_size,
+            method=args.method, tokenizer=tokenizer,
+            classnames=classnames, templates=templates,
+        )
+        logger.info(
+            "Eval Epoch: %d %s", start_epoch,
+            {k: round(float(v), 4) for k, v in metrics.items()},
+        )
+        from latteclip_tpu.obs.meters import append_results_jsonl
+
+        append_results_jsonl(
+            os.path.join(checkpoint_dir, "results.jsonl"),
+            {"epoch": start_epoch, **{k: float(v) for k, v in metrics.items()}},
+        )
+        return 0
+
     # ---- data -----------------------------------------------------------------
     if synthetic_mode:
         train_shards = os.path.join(preprocess_path, "webdataset", "train_tars")
@@ -530,6 +571,7 @@ def main(argv=None) -> int:
         profile_dir=os.path.join(log_dir, "trace") if args.profile else None,
         profile_start_step=args.profile_start_step,
         profile_num_steps=args.profile_num_steps,
+        lr_schedule=schedule,
     )
     imagenet_val_dataset = None
     if args.imagenet_val:
