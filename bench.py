@@ -54,12 +54,33 @@ WARMUP_STEPS = 3
 MEASURE_STEPS = 10
 
 
+def caption_lengths(rng, n: int, clip_max: int = 77) -> np.ndarray:
+    """LLaVA-caption-like BPE length distribution (median ~30, long tail;
+    same generator as tools/r4_packed_bench.py — the measured tower A/B)."""
+    ln = rng.lognormal(mean=np.log(30.0), sigma=0.35, size=n)
+    return np.clip(np.round(ln).astype(np.int64) + 2, 8, clip_max)
+
+
+def _caption_rows(rng, lengths: np.ndarray, ctx: int, eot_id: int) -> np.ndarray:
+    rows = np.zeros((len(lengths), ctx), np.int32)
+    for i, ln in enumerate(lengths):
+        rows[i, :ln - 1] = rng.integers(1, 40000, size=ln - 1)
+        rows[i, ln - 1] = eot_id
+    return rows
+
+
 def make_batch(batch_size: int, image_size: int, num_classes: int, ctx: int = 77,
-               eot_id: int = 49407):
+               eot_id: int = 49407, longtail: bool = False):
     rng = np.random.default_rng(0)
-    per_image = rng.integers(1, 40000, size=(batch_size, ctx)).astype(np.int32)
-    per_group = rng.integers(1, 40000, size=(batch_size, ctx)).astype(np.int32)
-    if ctx != 77:
+    if longtail:
+        # realistic variable-length captions (EOT at the real length) — the
+        # packed run's work depends on the distribution, so pin it
+        per_image = _caption_rows(rng, caption_lengths(rng, batch_size, ctx), ctx, eot_id)
+        per_group = _caption_rows(rng, caption_lengths(rng, batch_size, ctx), ctx, eot_id)
+    else:
+        per_image = rng.integers(1, 40000, size=(batch_size, ctx)).astype(np.int32)
+        per_group = rng.integers(1, 40000, size=(batch_size, ctx)).astype(np.int32)
+    if ctx != 77 and not longtail:
         # capped contexts carry a forced EOT in the last column, like the
         # real pipeline's apply_context_cap output
         per_image[:, -1] = eot_id
@@ -129,7 +150,7 @@ def analytic_step_tflops(cfg, batch: int, num_classes: int, ctx: int,
 
 
 def run(model: str = MODEL, batch: int = BATCH, remat: bool = False,
-        ctx: int = 77) -> dict:
+        ctx: int = 77, packing: int = 0) -> dict:
     import jax
 
     from latteclip_tpu.core.config import get_model_config
@@ -155,14 +176,34 @@ def run(model: str = MODEL, batch: int = BATCH, remat: bool = False,
         table = np.asarray(table)[:, :ctx]
     optimizer = make_optimizer(make_schedule("cosine", 1e-5, warmup=10, total_steps=1000))
     state = create_train_state(params, optimizer, bank)
-    hp = LatteHParams(remat=remat)
+    hp = LatteHParams(remat=remat, text_packing=bool(packing))
     from latteclip_tpu.core.mesh import tpu_compiler_options
 
-    step = jax.jit(make_train_step(cfg, optimizer, hp, table), donate_argnums=(0,),
-                   compiler_options=tpu_compiler_options())
+    template_packed = None
+    if packing:
+        from latteclip_tpu.data.packing import pack_template_table
+
+        template_packed = pack_template_table(np.asarray(table), packing)
+    step = jax.jit(make_train_step(cfg, optimizer, hp, table,
+                                   template_packed=template_packed),
+                   donate_argnums=(0,), compiler_options=tpu_compiler_options())
 
     host_batch = make_batch(batch, cfg.vision.image_size, len(classes), ctx=ctx,
-                            eot_id=tokenizer.eot_token_id)
+                            eot_id=tokenizer.eot_token_id, longtail=bool(packing))
+    if packing:
+        from latteclip_tpu.data.packing import (
+            pack_caption_batch,
+            pack_rows_needed,
+            token_lengths,
+        )
+
+        lens = np.concatenate([token_lengths(host_batch["per_image_tokens"]),
+                               token_lengths(host_batch["per_group_tokens"])])
+        need = pack_rows_needed(lens, packing)
+        rows = -(-(need + max(2, need // 16)) // 8) * 8
+        host_batch.update(pack_caption_batch(
+            host_batch["per_image_tokens"], host_batch["per_group_tokens"],
+            packing, rows))
     device_batch = {k: jax.device_put(v) for k, v in host_batch.items()}
 
     # NOTE: on the axon relay platform block_until_ready does not actually
@@ -234,6 +275,16 @@ def main() -> int:
         result["ctx_auto"] = PRODUCTION_CTX
     except Exception as e:
         print(f"# ctx-cap run failed: {e}", file=sys.stderr)
+    try:
+        # --text-packing production number: variable-length packed caption
+        # tower + static packed templates on an LLaVA-like length
+        # distribution (median ~30 BPE tokens, tail to 77). Exact semantics
+        # at ANY distribution (tests/test_packed_step.py); throughput depends
+        # on it, so the distribution is pinned in caption_lengths above.
+        packed_result = run(batch=batch, remat=remat, packing=128)
+        result["value_packed"] = packed_result["value"]
+    except Exception as e:
+        print(f"# packed run failed: {e}", file=sys.stderr)
 
     print(json.dumps(result))
     return 0

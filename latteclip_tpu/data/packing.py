@@ -16,7 +16,7 @@ once for a static jit shape (``rows=`` parameter).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Dict, NamedTuple, Optional
 
 import numpy as np
 
@@ -88,3 +88,85 @@ def pack_token_rows(
         eot_col[n] = fill + ln - 1
         fill += ln
     return PackedText(out, positions, seg_ids, eot_row, eot_col)
+
+
+def token_lengths(tokens: np.ndarray) -> np.ndarray:
+    """Real lengths of padded token rows: EOT position + 1.
+
+    The CLIP tokenizer gives EOT the highest id in every row (reference
+    src/open_clip/tokenizer.py:250-258; argmax pooling relies on the same
+    invariant), so ``argmax`` finds it. All-zero rows (missing caption — the
+    pipeline's zero filler) get length 1: the packed forward then pools
+    position 0 of token 0, exactly what the padded tower computes for them.
+    """
+    return np.argmax(np.asarray(tokens), axis=-1).astype(np.int64) + 1
+
+
+def pack_template_table(table: np.ndarray, pack_len: int = 128) -> PackedText:
+    """Pack the static per-class template table once (step-build time).
+
+    Template rows are short ("a photo of a <classname>." — typically 8-16
+    BPE tokens), so the packed template forward touches ~C*len tokens
+    instead of C*ctx. Rows are padded up to a multiple of 8 (sublane-
+    friendly; padding rows are seg_id 0 = fully masked).
+    """
+    table = np.asarray(table)
+    lengths = token_lengths(table)
+    need = pack_rows_needed(lengths, pack_len)
+    return pack_token_rows(table, lengths, pack_len, rows=-(-need // 8) * 8)
+
+
+def pack_caption_batch(
+    per_image_tokens: np.ndarray,
+    per_group_tokens: np.ndarray,
+    pack_len: int,
+    rows: int,
+) -> Dict[str, np.ndarray]:
+    """Pack both caption streams of one train batch into device-ready arrays.
+
+    Sequence order is [per_image (B), per_group (B)] — the step splits the
+    [2B, E] packed-forward output back into the two streams. ``rows`` pins
+    the static row count (caller chooses the jit bucket; padding rows are
+    seg_id 0 = masked). Field names match what ``train.step`` reads.
+    """
+    N = per_image_tokens.shape[0]
+    tokens = np.concatenate([per_image_tokens, per_group_tokens], axis=0)
+    packed = pack_token_rows(tokens, token_lengths(tokens), pack_len, rows=rows)
+    assert packed.eot_row.shape[0] == 2 * N
+    return {
+        "cap_tokens": packed.tokens,
+        "cap_positions": packed.positions,
+        "cap_seg_ids": packed.seg_ids,
+        "cap_eot_row": packed.eot_row,
+        "cap_eot_col": packed.eot_col,
+    }
+
+
+class PackRowBucketer:
+    """Monotonic row-count bucketing for static jit shapes across batches.
+
+    Per-batch packed need varies; jit wants few distinct shapes. Each batch's
+    need (+ ~6% slack) is rounded up to ``multiple`` and the running maximum
+    is kept, so row counts only ever grow — in practice one or two jit
+    specializations per run for a stationary caption-length distribution.
+    ``fixed`` pins the count outright (required in multi-host jobs, where
+    per-host adaptive buckets would disagree on the global array shape).
+    """
+
+    def __init__(self, multiple: int = 8, fixed: Optional[int] = None):
+        self.multiple = max(1, int(multiple))
+        self.fixed = fixed
+        self._rows = 0
+
+    def rows_for(self, need: int) -> int:
+        if self.fixed is not None:
+            if need > self.fixed:
+                raise ValueError(
+                    f"--text-packing-rows {self.fixed} < packed need {need}; "
+                    "raise the fixed row count"
+                )
+            return self.fixed
+        padded = need + max(2, need // 16)
+        m = self.multiple
+        self._rows = max(self._rows, -(-padded // m) * m)
+        return self._rows

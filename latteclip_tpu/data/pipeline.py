@@ -263,6 +263,15 @@ class PipelineConfig:
     # math.ceil(num_samples / global_batch) (data.py:727-729); floor=True is
     # the reference's unused escape hatch, kept for completeness.
     floor: bool = False
+    # --text-packing: pack both caption streams' real-length token runs into
+    # [R, text_packing_len] rows (data/packing.py) and add cap_* arrays to
+    # every batch. 0 disables. ``text_packing_multiple`` rounds the monotonic
+    # row bucket (set to lcm(8, data-parallel size) so rows shard);
+    # ``text_packing_rows`` pins R outright (required multi-host — adaptive
+    # per-host buckets would disagree on the global shape).
+    text_packing_len: int = 0
+    text_packing_multiple: int = 8
+    text_packing_rows: Optional[int] = None
 
 
 class TrainPipeline:
@@ -298,6 +307,25 @@ class TrainPipeline:
         self._epoch_rngs: Dict[int, np.random.Generator] = {}
         self._decode_cache: Dict[str, np.ndarray] = {}
         self._decode_cache_used = 0
+        self._pack_bucketer = None
+        if cfg.text_packing_len:
+            from latteclip_tpu.data.packing import PackRowBucketer
+
+            if cfg.host_count > 1 and cfg.text_packing_rows is None:
+                raise ValueError(
+                    "--text-packing in a multi-host job needs an explicit "
+                    "--text-packing-rows: adaptive per-host row buckets would "
+                    "disagree on the global packed-array shape"
+                )
+            if cfg.text_packing_len < self._tok_dim:
+                raise ValueError(
+                    f"--text-packing {cfg.text_packing_len} < token context "
+                    f"{self._tok_dim}: a full-length caption would not fit in "
+                    "one packed row (use >= the context, e.g. 128)"
+                )
+            self._pack_bucketer = PackRowBucketer(
+                multiple=cfg.text_packing_multiple, fixed=cfg.text_packing_rows
+            )
 
     # -- sample-level assembly ---------------------------------------------
     def _assemble(self, raw: Dict[str, bytes], rng: np.random.Generator) -> Optional[dict]:
@@ -513,6 +541,22 @@ class TrainPipeline:
                 batch["gt_labels"][i] = s["gt"]
                 if self.cfg.ondevice_resize:
                     batch["crop_boxes"][i] = s["crop_box"]
+            if self._pack_bucketer is not None:
+                from latteclip_tpu.data.packing import (
+                    pack_caption_batch,
+                    pack_rows_needed,
+                    token_lengths,
+                )
+
+                lengths = np.concatenate([
+                    token_lengths(batch["per_image_tokens"]),
+                    token_lengths(batch["per_group_tokens"]),
+                ])
+                P = self.cfg.text_packing_len
+                rows = self._pack_bucketer.rows_for(pack_rows_needed(lengths, P))
+                batch.update(pack_caption_batch(
+                    batch["per_image_tokens"], batch["per_group_tokens"], P, rows,
+                ))
             yield batch
 
 

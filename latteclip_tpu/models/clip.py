@@ -152,6 +152,38 @@ def encode_text(
     return l2_normalize(feats) if normalize else feats
 
 
+def encode_text_packed(
+    params: Params,
+    cfg: CLIPConfig,
+    tokens: jnp.ndarray,
+    positions: jnp.ndarray,
+    seg_ids: jnp.ndarray,
+    eot_row: jnp.ndarray,
+    eot_col: jnp.ndarray,
+    *,
+    normalize: bool = False,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Variable-length PACKED text encode (data/packing.py layout).
+
+    Numerically equivalent to :func:`encode_text` on the padded rows the
+    reference always computes (pad-to-77, src/open_clip/tokenizer.py:250-258)
+    while running the tower on ~sum(len) tokens — native argmax-pool CLIP
+    text towers only (the packer pins EOT coordinates; HF towers pool
+    differently and are not packable here).
+    """
+    from latteclip_tpu.models.hf_text import HFTextConfig
+
+    if isinstance(cfg.text, HFTextConfig):
+        raise NotImplementedError("packed text encode supports the native CLIP text tower only")
+    feats = text_mod.text_forward_packed(
+        params["text"], cfg.text, tokens, positions, seg_ids, eot_row, eot_col,
+        dtype=_dtype(cfg), quick_gelu=cfg.quick_gelu, remat=remat,
+        gelu_tanh=getattr(cfg, "gelu_tanh", False),
+    )
+    return l2_normalize(feats) if normalize else feats
+
+
 def clip_forward(
     params: Params,
     cfg: CLIPConfig,

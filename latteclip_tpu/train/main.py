@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import math
 import os
 import sys
 from typing import Optional
@@ -414,7 +415,25 @@ def main(argv=None) -> int:
         logger.info("group weights written to %s", args.extract_group_weight_path)
         return 0
 
+    if args.text_packing:
+        from latteclip_tpu.models.hf_text import HFTextConfig
+
+        if args.method != "ours" or args.gamma:
+            raise SystemExit(
+                "--text-packing packs the caption streams of the v2 trainer "
+                "(--method ours, gamma 0); the flyp/v1 paths encode no "
+                "per-sample captions, so there is nothing to pack"
+            )
+        if isinstance(cfg.text, HFTextConfig) or cfg.text.pool_type != "argmax" \
+                or cfg.text.embed_cls:
+            raise SystemExit(
+                "--text-packing supports the native argmax-pool CLIP text "
+                "tower only (HF towers and cls-token pooling pack differently)"
+            )
+
     aug = _build_aug_config(args.aug_cfg)
+    dp_size = max(1, jax.device_count() // max(1, args.model_parallelism))
+    pack_multiple = 8 * dp_size // math.gcd(8, dp_size)
     pipe_cfg = PipelineConfig(
         batch_size=args.batch_size,
         image_size=cfg.vision.image_size,
@@ -428,6 +447,9 @@ def main(argv=None) -> int:
         crop_scale=(aug.scale_min, aug.scale_max),
         resampled=args.dataset_resampled,
         upsampling_factors=_parse_upsampling(args),
+        text_packing_len=args.text_packing,
+        text_packing_multiple=pack_multiple,
+        text_packing_rows=args.text_packing_rows,
     )
     pipeline = TrainPipeline(data, pipe_cfg, num_samples)
     total_steps = pipeline.steps_per_epoch * args.epochs
@@ -464,7 +486,8 @@ def main(argv=None) -> int:
         remat=args.grad_checkpointing,
         remat_text=args.grad_checkpointing_text,
         bug_compat=args.fusion_bug_compat,
-        fuse_text_fwd=args.fuse_text_forward,
+        fuse_text_fwd=args.fuse_text_forward and not args.text_packing,
+        text_packing=bool(args.text_packing),
     )
     table = build_template_table(tokenizer, classnames, templates)
     if context_cap_table is not None:
@@ -489,7 +512,20 @@ def main(argv=None) -> int:
             )
             step_fn = make_v1_step(cfg, optimizer, hp, table, gamma=args.gamma, aug=aug)
         else:
-            step_fn = make_train_step(cfg, optimizer, hp, table, aug=aug)
+            template_packed = None
+            if args.text_packing:
+                from latteclip_tpu.data.packing import pack_template_table
+
+                template_packed = pack_template_table(table, args.text_packing)
+                logger.info(
+                    "text packing: captions -> [R, %d] segment-masked rows; "
+                    "templates packed to [%d, %d] (from [%d, %d])",
+                    args.text_packing, template_packed.tokens.shape[0],
+                    args.text_packing, table.shape[0], table.shape[1],
+                )
+            step_fn = make_train_step(
+                cfg, optimizer, hp, table, aug=aug, template_packed=template_packed
+            )
     else:
         if args.siglip and "logit_bias" not in params:
             # reference SigLIP configs carry init_logit_bias (-10); inject it

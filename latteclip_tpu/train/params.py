@@ -269,6 +269,19 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "past the longest EOT invisible — only the wasted "
                         "attention/GEMM columns are removed (TPU-native "
                         "optimization, no reference counterpart)")
+    p.add_argument("--text-packing", type=int, default=0,
+                   help="variable-length sequence packing for the caption "
+                        "text forwards: pack real-length token runs end to "
+                        "end into rows of THIS many columns (128 recommended; "
+                        "0 = off) with segment-masked attention; templates "
+                        "pack statically. EXACT vs the reference's pad-to-77 "
+                        "(tokenizer.py:250-258) for the native argmax-pool "
+                        "CLIP text tower; the tower runs on ~sum(len) tokens "
+                        "(TPU-native optimization, no reference counterpart)")
+    p.add_argument("--text-packing-rows", type=int, default=None,
+                   help="pin the packed row count per batch (static jit "
+                        "shape). Default: adaptive monotonic bucketing; "
+                        "REQUIRED for multi-host --text-packing runs")
     p.add_argument("--wandb-notes", default="", type=str,
                    help="Notes if logging with wandb (reference params.py:634)")
     p.add_argument("--wandb-project-name", type=str, default="open-clip",

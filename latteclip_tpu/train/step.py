@@ -65,6 +65,13 @@ class LatteHParams:
     # zero-padded to a multiple of 8 rows) instead of two — value- and
     # gradient-identical, one kernel launch and a bigger GEMM batch
     fuse_text_fwd: bool = False
+    # True variable-length packing (--text-packing): the batch carries
+    # cap_{tokens,positions,seg_ids,eot_row,eot_col} from data.packing and
+    # the caption streams run through the segment-masked packed tower
+    # (~sum(len) tokens instead of 2B*ctx); templates pack statically at
+    # step build. Numerically equivalent to the padded path (causal mask +
+    # EOT pooling; tests/test_packed_step.py pins step-level equivalence).
+    text_packing: bool = False
 
     @property
     def text_remat(self) -> bool:
@@ -150,6 +157,7 @@ def latteclip_loss_fn(
     memory_bank: jnp.ndarray,
     prototypes: jnp.ndarray,
     template_table: jnp.ndarray,
+    template_packed: Optional[tuple] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     zs_preds = batch["zs_preds"]
 
@@ -166,7 +174,29 @@ def latteclip_loss_fn(
     # (the gather's transpose scatter-adds the cotangents), but O(C) instead
     # of O(B) text-tower work for the label streams. The caption streams are
     # per-sample unique and batch into one forward.
-    if hp.fuse_text_fwd:
+    if hp.text_packing:
+        # variable-length packed caption tower (--text-packing): run on
+        # ~sum(len) tokens; sequence order [per_image, per_group] is pinned
+        # by data.packing.pack_caption_batch
+        B = zs_preds.shape[0]
+        if template_packed is not None:
+            class_text_feats = clip_mod.encode_text_packed(
+                params, cfg, *template_packed,
+                normalize=True, remat=hp.text_remat,
+            )
+        else:
+            class_text_feats = clip_mod.encode_text(
+                params, cfg, template_table, normalize=True, remat=hp.text_remat
+            )
+        caption_feats = clip_mod.encode_text_packed(
+            params, cfg,
+            batch["cap_tokens"], batch["cap_positions"], batch["cap_seg_ids"],
+            batch["cap_eot_row"], batch["cap_eot_col"],
+            normalize=True, remat=hp.text_remat,
+        )
+        per_img_f = caption_feats[:B]
+        per_grp_f = caption_feats[B:]
+    elif hp.fuse_text_fwd:
         # templates + both caption streams in ONE encode_text ([C+2B, 77]
         # padded to a multiple of 8 rows for the flash kernel's batch
         # grouping) — fewer launches, one bigger MXU-friendly GEMM batch
@@ -271,10 +301,17 @@ def make_train_step(
     hp: LatteHParams,
     template_table: jnp.ndarray,
     aug: Optional[T.AugConfig] = None,
+    template_packed=None,
 ):
-    """Build the jittable LatteCLIP step: (state, batch, rng) -> (state, metrics)."""
+    """Build the jittable LatteCLIP step: (state, batch, rng) -> (state, metrics).
+
+    ``template_packed``: a ``data.packing.PackedText`` of the template table
+    (static — packed once here) for the ``hp.text_packing`` path.
+    """
     aug = aug or T.AugConfig()
     template_table = jnp.asarray(template_table)
+    if template_packed is not None:
+        template_packed = tuple(jnp.asarray(a) for a in template_packed)
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         mean, std = T.model_mean_std(cfg)
@@ -290,6 +327,7 @@ def make_train_step(
         (loss, aux), grads = grad_fn(
             state.params, cfg, hp, batch, images,
             state.memory_bank, state.prototypes, template_table,
+            template_packed,
         )
 
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
