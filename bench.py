@@ -27,6 +27,10 @@ lottery documented in BASELINE.md:
   the cap is result-identical there; see BASELINE.md ctx-cap rows). The
   headline ``value`` stays at the reference's full 77 columns so
   ``vs_baseline`` compares equal work.
+- ``value_packed``: throughput with ``--text-packing 128`` (round 4) —
+  variable-length packed caption tower on an LLaVA-like length
+  distribution; exact full-77 semantics (tests/test_packed_step.py), so
+  this is the recommended production configuration.
 """
 from __future__ import annotations
 
