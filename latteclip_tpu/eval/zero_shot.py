@@ -46,29 +46,67 @@ def build_zero_shot_classifier(
     templates: Sequence[Callable[[str], str]],
     *,
     chunk_classes: int = 64,
+    packing: int = 0,
 ) -> jnp.ndarray:
-    """Return classifier weights ``[D, C]`` (template-mean, L2-normalized)."""
+    """Return classifier weights ``[D, C]`` (template-mean, L2-normalized).
+
+    ``packing`` (e.g. 128, from ``--text-packing``): encode each chunk
+    through the variable-length packed text tower (data/packing.py) —
+    template texts are short (~10-16 BPE tokens of the 77-column rows), so
+    the packed build touches ~len/77 of the padded tokens. Exact semantics
+    (tests/test_packed_step.py); native argmax-pool CLIP text towers only.
+    """
     num_templates = len(templates)
     tokens = tokenize_class_templates(tokenizer, classnames, templates)
     C = len(classnames)
 
-    @tpu_jit
-    def encode_chunk(p, chunk_tokens):
-        feats = clip_mod.encode_text(p, cfg, chunk_tokens, normalize=True)
-        feats = feats.reshape(-1, num_templates, feats.shape[-1]).mean(axis=1)
-        return l2_normalize(feats)
-
     chunk = chunk_classes * num_templates
-    outs = []
+    blocks = []
     for start in range(0, C * num_templates, chunk):
         block = tokens[start : start + chunk]
+        real = block.shape[0] // num_templates
         if block.shape[0] < chunk:  # pad to static shape, drop extras after
             pad = np.zeros((chunk - block.shape[0], block.shape[1]), block.dtype)
-            padded = np.concatenate([block, pad])
-            out = np.asarray(encode_chunk(params, padded))[: block.shape[0] // num_templates]
-        else:
-            out = np.asarray(encode_chunk(params, block))
-        outs.append(out)
+            block = np.concatenate([block, pad])
+        blocks.append((block, real))
+
+    if packing:
+        from latteclip_tpu.data.packing import (
+            pack_rows_needed,
+            pack_token_rows,
+            token_lengths,
+        )
+
+        if packing < tokens.shape[1]:
+            raise ValueError(
+                f"packing={packing} < token context {tokens.shape[1]}")
+        # one static row count for every chunk = one jit specialization
+        rows = -(-max(
+            pack_rows_needed(token_lengths(b), packing) for b, _ in blocks
+        ) // 8) * 8
+
+        @tpu_jit
+        def encode_chunk(p, tok, pos, seg, er, ec):
+            feats = clip_mod.encode_text_packed(
+                p, cfg, tok, pos, seg, er, ec, normalize=True)
+            feats = feats.reshape(-1, num_templates, feats.shape[-1]).mean(axis=1)
+            return l2_normalize(feats)
+
+        def run_chunk(block):
+            pk = pack_token_rows(block, token_lengths(block), packing, rows=rows)
+            return encode_chunk(params, pk.tokens, pk.positions, pk.seg_ids,
+                                pk.eot_row, pk.eot_col)
+    else:
+        @tpu_jit
+        def encode_chunk(p, chunk_tokens):
+            feats = clip_mod.encode_text(p, cfg, chunk_tokens, normalize=True)
+            feats = feats.reshape(-1, num_templates, feats.shape[-1]).mean(axis=1)
+            return l2_normalize(feats)
+
+        def run_chunk(block):
+            return encode_chunk(params, block)
+
+    outs = [np.asarray(run_chunk(block))[:real] for block, real in blocks]
     weights = np.concatenate(outs)  # [C, D]
     return jnp.asarray(weights.T)  # [D, C]
 

@@ -78,6 +78,9 @@ class LoopConfig:
     # schedule(step) -> lr, for the per-step "LR:" log field (reference
     # train.py:605 logs optimizer.param_groups[0]['lr'])
     lr_schedule: Optional[object] = None
+    # --text-packing: packed template encodes in the eval classifier builds
+    # (flyp/imagenet-val branches; 0 = padded)
+    text_packing: int = 0
 
 
 def _host_local_eval_state(state: TrainState) -> TrainState:
@@ -108,6 +111,7 @@ def evaluate_zero_shot(
     tokenizer=None,
     classnames: Optional[Sequence[str]] = None,
     templates=None,
+    packing: int = 0,
 ) -> Dict[str, float]:
     """Epoch zero-shot eval with the reference's classifier dispatch:
 
@@ -124,7 +128,7 @@ def evaluate_zero_shot(
 
         assert tokenizer is not None and classnames is not None and templates is not None
         classifier = build_zero_shot_classifier(
-            state.params, cfg, tokenizer, classnames, templates
+            state.params, cfg, tokenizer, classnames, templates, packing=packing
         )
     else:
         classifier = prototype_classifier(state.memory_bank)
@@ -271,6 +275,7 @@ def train(
                 state, cfg, val_dataset, loop_cfg.eval_batch_size,
                 method=loop_cfg.method, tokenizer=tokenizer,
                 classnames=classnames, templates=templates,
+                packing=loop_cfg.text_packing,
             )
             run_val = (
                 val_pairs_dataset is not None
@@ -304,6 +309,7 @@ def train(
                 in_classifier = build_zero_shot_classifier(
                     est.params, cfg, tokenizer,
                     imagenet_classnames(), openai_imagenet_templates(),
+                    packing=loop_cfg.text_packing,
                 )
                 in_metrics = run_zero_shot_eval(
                     est.params, cfg, in_classifier,

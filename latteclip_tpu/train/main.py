@@ -418,17 +418,19 @@ def main(argv=None) -> int:
     if args.text_packing:
         from latteclip_tpu.models.hf_text import HFTextConfig
 
-        if args.method != "ours" or args.gamma:
-            raise SystemExit(
-                "--text-packing packs the caption streams of the v2 trainer "
-                "(--method ours, gamma 0); the flyp/v1 paths encode no "
-                "per-sample captions, so there is nothing to pack"
-            )
         if isinstance(cfg.text, HFTextConfig) or cfg.text.pool_type != "argmax" \
                 or cfg.text.embed_cls:
             raise SystemExit(
                 "--text-packing supports the native argmax-pool CLIP text "
                 "tower only (HF towers and cls-token pooling pack differently)"
+            )
+        if args.method != "ours" or args.gamma:
+            # the flyp/v1 trainers encode no per-sample captions — packing
+            # then applies to the eval classifier builds only
+            logger.info(
+                "--text-packing with method=%s/gamma=%s: the trainer has no "
+                "caption streams to pack; packing the eval classifier "
+                "template encodes only", args.method, args.gamma,
             )
 
     aug = _build_aug_config(args.aug_cfg)
@@ -447,7 +449,9 @@ def main(argv=None) -> int:
         crop_scale=(aug.scale_min, aug.scale_max),
         resampled=args.dataset_resampled,
         upsampling_factors=_parse_upsampling(args),
-        text_packing_len=args.text_packing,
+        # only the v2 trainer consumes packed caption streams
+        text_packing_len=(args.text_packing
+                          if args.method == "ours" and not args.gamma else 0),
         text_packing_multiple=pack_multiple,
         text_packing_rows=args.text_packing_rows,
     )
@@ -487,7 +491,8 @@ def main(argv=None) -> int:
         remat_text=args.grad_checkpointing_text,
         bug_compat=args.fusion_bug_compat,
         fuse_text_fwd=args.fuse_text_forward and not args.text_packing,
-        text_packing=bool(args.text_packing),
+        text_packing=bool(args.text_packing) and args.method == "ours"
+        and not args.gamma,
     )
     table = build_template_table(tokenizer, classnames, templates)
     if context_cap_table is not None:
@@ -608,6 +613,7 @@ def main(argv=None) -> int:
         profile_start_step=args.profile_start_step,
         profile_num_steps=args.profile_num_steps,
         lr_schedule=schedule,
+        text_packing=args.text_packing,
     )
     imagenet_val_dataset = None
     if args.imagenet_val:

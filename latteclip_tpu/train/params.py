@@ -277,7 +277,10 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "pack statically. EXACT vs the reference's pad-to-77 "
                         "(tokenizer.py:250-258) for the native argmax-pool "
                         "CLIP text tower; the tower runs on ~sum(len) tokens "
-                        "(TPU-native optimization, no reference counterpart)")
+                        "(TPU-native optimization, no reference counterpart). "
+                        "With --method flyp/flyp_gt or --gamma the trainer "
+                        "has no caption streams; packing then applies to the "
+                        "eval classifier template encodes only")
     p.add_argument("--text-packing-rows", type=int, default=None,
                    help="pin the packed row count per batch (static jit "
                         "shape). Default: adaptive monotonic bucketing; "

@@ -146,6 +146,20 @@ def test_packed_step_trajectory_matches_padded(fixture_root):
         np.asarray(s_pack.memory_bank), np.asarray(s_pad.memory_bank), atol=2e-5)
 
 
+def test_packed_classifier_build_matches_padded():
+    from latteclip_tpu.eval.zero_shot import build_zero_shot_classifier
+
+    tok = get_tokenizer()
+    params = init_clip_params(jax.random.PRNGKey(1), TINY)
+    classnames = [f"thing {i}" for i in range(13)]  # odd count: final pad chunk
+    templates = [lambda c: f"a photo of a {c}.", lambda c: f"{c} up close."]
+    padded = build_zero_shot_classifier(
+        params, TINY, tok, classnames, templates, chunk_classes=4)
+    packed = build_zero_shot_classifier(
+        params, TINY, tok, classnames, templates, chunk_classes=4, packing=PACK)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(padded), atol=1e-5)
+
+
 def test_bucketer_rules():
     b = PackRowBucketer(multiple=8)
     r1 = b.rows_for(10)
