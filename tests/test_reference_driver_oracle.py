@@ -314,6 +314,104 @@ def test_real_v2_trajectory_with_context_cap():
         np.testing.assert_allclose(v, ref_sd[key], rtol=0, atol=2e-3, err_msg=key)
 
 
+def test_real_v2_trajectory_with_text_packing():
+    """--text-packing exactness, proven against the REAL reference: OUR
+    side trains with both caption streams packed variable-length ([R, 128]
+    segment-masked rows) and the template table statically packed, the
+    reference trains on the same captions padded to the full 77 columns
+    (src/open_clip/tokenizer.py:250-258) — losses, bank, and params must
+    still match. End-to-end form of tests/test_packed_step.py's
+    packed-vs-padded trajectory equality."""
+    oc, ref_train = _load_reference_trainer()
+
+    from latteclip_tpu.data.packing import (
+        pack_caption_batch,
+        pack_rows_needed,
+        pack_template_table,
+        token_lengths,
+    )
+
+    tok = get_tokenizer()
+    params = init_clip_params(jax.random.PRNGKey(42), CFG)
+    bank0 = np.asarray(init_memory_bank(params, CFG, tok, CLASSES, TEMPLATES))
+    table = build_template_table(tok, CLASSES, TEMPLATES)
+    batches = _make_batches(tok, np.random.default_rng(7))
+    norm_images = [np.asarray(T.normalize_images(b["images"])) for b in batches]
+
+    PACK = 128
+    packed_batches = []
+    rows = 0
+    for b in batches:  # one static row count across steps, like the bucketer
+        lens = np.concatenate([token_lengths(b["per_image_tokens"]),
+                               token_lengths(b["per_group_tokens"])])
+        rows = max(rows, -(-pack_rows_needed(lens, PACK) // 8) * 8)
+    for b in batches:
+        nb = dict(b)
+        nb.update(pack_caption_batch(
+            b["per_image_tokens"], b["per_group_tokens"], PACK, rows))
+        packed_batches.append(nb)
+
+    opt = optax.sgd(LR)
+    state = create_train_state(params, opt, bank0).start_epoch()
+    step = jax.jit(make_train_step(
+        CFG, opt,
+        LatteHParams(augment=False, bug_compat=True, text_packing=True),
+        table, template_packed=pack_template_table(table, PACK)))
+    our_losses = []
+    for i, b in enumerate(packed_batches):
+        state, metrics = step(state, b, jax.random.PRNGKey(i))
+        our_losses.append(float(metrics["loss"]))
+
+    # --- reference at the FULL padded 77 columns -----------------------------
+    ref_clip = oc.model.CLIP(
+        embed_dim=CFG.embed_dim,
+        vision_cfg={"image_size": 32, "layers": 2, "width": 64, "patch_size": 16},
+        text_cfg={"context_length": 77, "vocab_size": 49408, "width": 64,
+                  "heads": 4, "layers": 2},
+    )
+    sd = {k: torch.from_numpy(v) for k, v in
+          params_to_pt_state_dict(params, CFG).items()}
+    _missing, unexpected = ref_clip.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    model = oc.model.CustomCLIP(ref_clip, CLASSES, oc.tokenize)
+    model.init_memory_bank(CLASSES, TEMPLATES)
+    with torch.no_grad():
+        for i, c in enumerate(CLASSES):
+            model.memory_bank[c].copy_(torch.from_numpy(bank0[i]))
+
+    ref_batches = []
+    for b, img in zip(batches, norm_images):
+        images_t = torch.from_numpy(img.transpose(0, 3, 1, 2)).contiguous()
+        per_img = torch.from_numpy(b["per_image_tokens"].astype(np.int64)).unsqueeze(1)
+        per_grp = torch.from_numpy(b["per_group_tokens"].astype(np.int64)).unsqueeze(1)
+        zs_names = [[CLASSES[int(z)]] for z in b["zs_preds"]]
+        ref_batches.append((
+            images_t, images_t.clone(), per_img.clone(), per_grp.clone(),
+            [""] * B, None, per_img, per_grp, [{} for _ in range(B)], zs_names,
+        ))
+    data = {
+        "train": _StubTrainData(_StubLoader(ref_batches)),
+        "dtd-train-zero-shot-classification": types.SimpleNamespace(
+            class_names=CLASSES, templates=TEMPLATES),
+    }
+    writer = _CaptureWriter()
+    ref_train.train_one_epoch_v2(
+        model, data, oc.ClipLoss(), 0,
+        torch.optim.SGD(model.parameters(), lr=LR, momentum=0.0),
+        None, None, None, _reference_args(), tb_writer=writer,
+    )
+
+    ref_losses = writer.scalars["train/loss"]
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=0, atol=2e-4)
+    ref_bank = np.stack([model.memory_bank[c].detach().numpy() for c in CLASSES])
+    np.testing.assert_allclose(
+        np.asarray(state.memory_bank), ref_bank, rtol=0, atol=5e-4)
+    ours_sd = params_to_pt_state_dict(state.params, CFG)
+    ref_sd = {k: v.detach().numpy() for k, v in ref_clip.state_dict().items()}
+    for key, v in ours_sd.items():
+        np.testing.assert_allclose(v, ref_sd[key], rtol=0, atol=2e-3, err_msg=key)
+
+
 # ---------------------------------------------------------------------------
 # FLYP baseline: the reference's REAL train_one_epoch_original_clip
 # ---------------------------------------------------------------------------
