@@ -31,10 +31,11 @@ lottery documented in BASELINE.md:
   variable-length packed caption tower on an LLaVA-like length
   distribution; exact full-77 semantics (tests/test_packed_step.py), so
   this is the recommended production configuration.
-- ``value_b32`` / ``value_b32_packed`` (+ their ``vs_baseline_b32*``):
-  the same pair at ViT-B/32 — the config every reference run script pins
+- ``value_b32_packed`` / ``vs_baseline_b32_packed``: the packed step at
+  ViT-B/32 — the config every reference run script pins
   (``scripts/unsupervised/*.sh``); packing is worth more there (text is a
-  larger share of the step): measured 2.75× vs the B/32 baseline.
+  larger share of the step): measured 1636 img/s = 2.75× vs the B/32
+  baseline (padded B/32 anchor 1084 = 1.82×, BASELINE.md row).
 """
 from __future__ import annotations
 
@@ -295,15 +296,15 @@ def main() -> int:
         print(f"# packed run failed: {e}", file=sys.stderr)
     try:
         # ViT-B/32 — the config every reference run script pins
-        # (scripts/unsupervised/*.sh): padded full-77 + packed production
-        b32 = run(model="ViT-B-32", batch=batch, remat=remat)
+        # (scripts/unsupervised/*.sh) — at the packed production setting.
+        # (The padded-B/32 anchor, 1084.0 = 1.82× same session, is a
+        # BASELINE.md row; skipped here to keep the bench under the
+        # driver's time budget.)
         b32p = run(model="ViT-B-32", batch=batch, remat=remat, packing=128)
-        result["value_b32"] = b32["value"]
-        result["vs_baseline_b32"] = b32["vs_baseline"]
         result["value_b32_packed"] = b32p["value"]
         result["vs_baseline_b32_packed"] = b32p["vs_baseline"]
     except Exception as e:
-        print(f"# b32 runs failed: {e}", file=sys.stderr)
+        print(f"# b32 run failed: {e}", file=sys.stderr)
 
     print(json.dumps(result))
     return 0

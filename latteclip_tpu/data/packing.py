@@ -16,9 +16,12 @@ once for a static jit shape (``rows=`` parameter).
 """
 from __future__ import annotations
 
+import logging
 from typing import Dict, NamedTuple, Optional
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 class PackedText(NamedTuple):
@@ -168,5 +171,10 @@ class PackRowBucketer:
             return self.fixed
         padded = need + max(2, need // 16)
         m = self.multiple
-        self._rows = max(self._rows, -(-padded // m) * m)
+        grown = -(-padded // m) * m
+        if grown > self._rows:
+            # each growth is one jit respecialization; the settled value is
+            # what --text-packing-rows should pin in multi-host jobs
+            logger.info("text-packing row bucket: %d -> %d rows", self._rows, grown)
+            self._rows = grown
         return self._rows
