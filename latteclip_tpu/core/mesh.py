@@ -147,6 +147,27 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.device_put(tree, sharding)
 
 
+def tree_fully_replicated(tree: Any) -> bool:
+    """True when every jax.Array leaf is fully replicated (host-fetchable
+    process-locally in a multi-host job). Non-array leaves count as True."""
+    return all(
+        getattr(getattr(leaf, "sharding", None), "is_fully_replicated", True)
+        for leaf in jax.tree_util.tree_leaves(tree)
+    )
+
+
+def gather_replicated(tree: Any, mesh: Mesh) -> Any:
+    """All-gather a (possibly model-sharded) tree to fully replicated.
+
+    The TP→replicated resharding is a GSPMD collective: in a multi-host job
+    EVERY process must execute this call in the same order — run it on all
+    processes (the train loop's eval/checkpoint sections do), never inside
+    master-only code. Replicated leaves pass through at no collective cost.
+    """
+    shardings = jax.tree_util.tree_map(lambda _: replicated(mesh), tree)
+    return jax.jit(lambda t: t, out_shardings=shardings)(tree)
+
+
 def make_sharded_train_step(step_fn, mesh: Mesh, state=None):
     """jit the train step with the state sharded per ``train_state_shardings``
     (replicated at model_parallelism 1, MLP-tensor-sharded otherwise) and the

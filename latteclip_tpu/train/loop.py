@@ -21,6 +21,7 @@ import numpy as np
 
 from latteclip_tpu.core.checkpoint import save_clip_pt
 from latteclip_tpu.core.config import CLIPConfig
+from latteclip_tpu.core import mesh as mesh_mod
 from latteclip_tpu.core.mesh import (
     global_batch_from_local,
     make_mesh,
@@ -83,21 +84,47 @@ class LoopConfig:
     text_packing: int = 0
 
 
-def _host_local_eval_state(state: TrainState) -> TrainState:
-    """Fetch the (replicated) arrays eval needs to host memory.
+def _host_local_eval_state(state: TrainState, mesh=None) -> TrainState:
+    """Fetch the arrays eval needs to host memory.
 
     In a multi-host job, jitted eval on one process over globally-committed
     arrays deadlocks (collectives expect every process). Fetching replicated
     arrays is process-local and safe on every host; eval then runs
     independently (and identically) per process on local devices. Only used
     when process_count > 1 — single-process runs keep arrays on device.
+
+    Tensor-parallel params (``--model-parallelism K``) are first all-gathered
+    to replicated — a collective, so THIS FUNCTION must be called on every
+    process (all the loop's call sites are); pass ``mesh`` for that case.
     """
     if jax.process_count() == 1:
         return state
+    params = state.params
+    if not mesh_mod.tree_fully_replicated(params):
+        if mesh is None:
+            raise ValueError(
+                "model-sharded params need the mesh to all-gather for "
+                "host-local eval; pass mesh=... through"
+            )
+        params = mesh_mod.gather_replicated(params, mesh)
     return state.replace(
-        params=jax.device_get(state.params),
+        params=jax.device_get(params),
         memory_bank=np.asarray(state.memory_bank),
         prototypes=np.asarray(state.prototypes),
+    )
+
+
+def _host_local_save_state(state: TrainState, mesh=None) -> TrainState:
+    """Like :func:`_host_local_eval_state` but also covers the optimizer
+    moments the checkpoint carries (TP-sharded under --model-parallelism).
+    Collective under TP: call on EVERY process, then let only master write.
+    """
+    state = _host_local_eval_state(state, mesh)
+    if jax.process_count() == 1 or mesh_mod.tree_fully_replicated(state.opt_state):
+        return state
+    return state.replace(
+        opt_state=jax.device_get(
+            mesh_mod.gather_replicated(state.opt_state, mesh))
     )
 
 
@@ -112,6 +139,7 @@ def evaluate_zero_shot(
     classnames: Optional[Sequence[str]] = None,
     templates=None,
     packing: int = 0,
+    mesh=None,
 ) -> Dict[str, float]:
     """Epoch zero-shot eval with the reference's classifier dispatch:
 
@@ -122,7 +150,7 @@ def evaluate_zero_shot(
       FLYP fine-tunes the text tower but never updates the bank, so the
       bank would be a classifier frozen at initialization.
     """
-    state = _host_local_eval_state(state)
+    state = _host_local_eval_state(state, mesh)
     if method in ("flyp", "flyp_gt"):
         from latteclip_tpu.eval.zero_shot import build_zero_shot_classifier
 
@@ -275,7 +303,7 @@ def train(
                 state, cfg, val_dataset, loop_cfg.eval_batch_size,
                 method=loop_cfg.method, tokenizer=tokenizer,
                 classnames=classnames, templates=templates,
-                packing=loop_cfg.text_packing,
+                packing=loop_cfg.text_packing, mesh=mesh,
             )
             run_val = (
                 val_pairs_dataset is not None
@@ -288,7 +316,7 @@ def train(
 
                 eval_metrics.update(
                     evaluate_val_pairs(
-                        _host_local_eval_state(state).params, cfg,
+                        _host_local_eval_state(state, mesh).params, cfg,
                         val_pairs_dataset, batch_size=loop_cfg.eval_batch_size,
                         tokenizer=tokenizer,
                     )
@@ -305,7 +333,7 @@ def train(
                     run_zero_shot_eval,
                 )
 
-                est = _host_local_eval_state(state)
+                est = _host_local_eval_state(state, mesh)
                 in_classifier = build_zero_shot_classifier(
                     est.params, cfg, tokenizer,
                     imagenet_classnames(), openai_imagenet_templates(),
@@ -327,10 +355,13 @@ def train(
                         w.add_scalar(f"val/{k}", float(v), completed)
                     w.flush()
 
-        if is_master and loop_cfg.save_frequency and (completed % loop_cfg.save_frequency == 0 or completed == loop_cfg.epochs):
-            # np.asarray / device_get on replicated arrays is process-local
-            # (no collective), so master-only saving cannot deadlock
-            save_epoch_checkpoint(state, cfg, classnames, loop_cfg, completed)
+        if loop_cfg.save_frequency and (completed % loop_cfg.save_frequency == 0 or completed == loop_cfg.epochs):
+            # the host fetch runs on EVERY process: under --model-parallelism
+            # it all-gathers the TP shards (a collective); on replicated
+            # states it is a process-local copy. Only master then writes.
+            save_state = _host_local_save_state(state, mesh)
+            if is_master:
+                save_epoch_checkpoint(save_state, cfg, classnames, loop_cfg, completed)
 
     if tracer is not None:
         tracer.close(sync=lambda: np.asarray(state.step))

@@ -653,11 +653,12 @@ def main(argv=None) -> int:
         logger.info("remote sync -> %s every %ds", args.remote_sync, args.remote_sync_frequency)
 
     if args.model_parallelism > 1 and jax.process_count() > 1:
-        # MLP tensor shards are device-local arrays; the process-local eval /
-        # checkpoint fetch (_host_local_eval_state) requires addressability.
-        raise SystemExit(
-            "--model-parallelism > 1 is single-host (multi-host eval would "
-            "need a param allgather); use data parallelism across hosts"
+        # eval/checkpoint all-gather the TP shards to replicated on every
+        # process before the host fetch (loop._host_local_{eval,save}_state)
+        logger.info(
+            "model_parallelism=%d across %d hosts: eval/checkpoint will "
+            "all-gather TP params per epoch", args.model_parallelism,
+            jax.process_count(),
         )
     mesh = make_mesh(model_parallelism=args.model_parallelism)
     loop_mod.train(

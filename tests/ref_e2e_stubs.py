@@ -679,10 +679,22 @@ def install_all():
             del sys.modules[name]
         install_webdataset().__latteclip_functional__ = True
     if not getattr(sys.modules.get("torchvision"), "__latteclip_functional__", False):
+        replaced_tv = "torchvision" in sys.modules
         for name in [m for m in list(sys.modules)
                      if m == "torchvision" or m.startswith("torchvision.")]:
             del sys.modules[name]
         install_torchvision().__latteclip_functional__ = True
+        if replaced_tv:
+            # reference modules imported against ref_oracle's inert stub hold
+            # stale `from torchvision.transforms import Compose` bindings
+            # (non-callable dummies) — purge them so they re-import against
+            # the functional stub (suite-order independence)
+            from ref_oracle import REF_ROOT
+
+            for name, mod in list(sys.modules.items()):
+                f = getattr(mod, "__file__", None)
+                if f and f.startswith(REF_ROOT):
+                    del sys.modules[name]
     if "braceexpand" not in sys.modules:
         be = _module("braceexpand")
         be.braceexpand = lambda p: iter(braceexpand(p))

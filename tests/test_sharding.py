@@ -144,3 +144,29 @@ def test_model_parallel_without_state_is_rejected():
     state, step = _make_state_and_step()
     with pytest.raises(ValueError, match="model_parallelism"):
         make_sharded_train_step(step, mesh)
+
+
+def test_gather_replicated_roundtrips_tp_shards():
+    """core.mesh.gather_replicated: TP-sharded params all-gather back to
+    fully replicated arrays equal to the originals — the host-fetch path
+    multi-host eval/checkpointing relies on (loop._host_local_eval_state)."""
+    from latteclip_tpu.core.mesh import (
+        gather_replicated,
+        shard_train_state,
+        tree_fully_replicated,
+    )
+
+    state, _ = _make_state_and_step()
+    mesh = make_mesh(model_parallelism=2)
+    placed = shard_train_state(state, mesh)
+    assert not tree_fully_replicated(placed.params)  # c_fc/c_proj are TP-split
+
+    gathered = gather_replicated(placed.params, mesh)
+    assert tree_fully_replicated(gathered)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(state.params),
+        jax.tree_util.tree_leaves_with_path(gathered),
+    ):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=jax.tree_util.keystr(pa))

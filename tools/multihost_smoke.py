@@ -10,6 +10,12 @@ multi-host code path (process-local arrays → jax.make_array_from_process_local
 
 Run:  python tools/multihost_smoke.py            # launcher, 2 procs x 4 dev
       (prints per-host losses; asserts they agree across hosts)
+
+``SMOKE_TP=2`` runs the same contract under --model-parallelism 2 on the
+(4, 2) dp x tp mesh: MLP kernels Megatron-sharded across processes, and the
+eval/checkpoint host fetch goes through the all-gather path
+(loop._host_local_{eval,save}_state + core.mesh.gather_replicated). The
+bare launcher runs BOTH modes.
 """
 from __future__ import annotations
 
@@ -23,6 +29,7 @@ PORT = 12765
 
 
 def worker(process_id: int) -> None:
+    tp = int(os.environ.get("SMOKE_TP", "1"))
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
@@ -32,7 +39,7 @@ def worker(process_id: int) -> None:
 
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(
-        coordinator_address=f"127.0.0.1:{PORT}",
+        coordinator_address=f"127.0.0.1:{os.environ.get('SMOKE_PORT', PORT)}",
         num_processes=NUM_PROCESSES,
         process_id=process_id,
     )
@@ -47,6 +54,7 @@ def worker(process_id: int) -> None:
         make_mesh,
         make_sharded_train_step,
         replicate,
+        shard_train_state,
     )
     from latteclip_tpu.models.clip import init_clip_params
     from latteclip_tpu.models.tokenizer import get_tokenizer
@@ -69,9 +77,9 @@ def worker(process_id: int) -> None:
     state = create_train_state(params, optimizer, bank)
     step_fn = make_train_step(cfg, optimizer, LatteHParams(augment=False), table)
 
-    mesh = make_mesh()
-    sharded_step = make_sharded_train_step(step_fn, mesh)
-    state = replicate(state, mesh)
+    mesh = make_mesh(model_parallelism=tp)
+    sharded_step = make_sharded_train_step(step_fn, mesh, state)
+    state = shard_train_state(state, mesh)
 
     # per-host local shard of the global batch (split_by_node semantics)
     local_b = 4
@@ -103,6 +111,7 @@ def worker(process_id: int) -> None:
     from latteclip_tpu.train.loop import (
         LoopConfig,
         _host_local_eval_state,
+        _host_local_save_state,
         find_latest_checkpoint,
         save_epoch_checkpoint,
     )
@@ -114,14 +123,15 @@ def worker(process_id: int) -> None:
             labels = ergn.integers(0, 4, size=(8,))
             yield ([""] * 8, imgs, labels, 8)
 
-    est = _host_local_eval_state(state)
+    est = _host_local_eval_state(state, mesh)
     ev = run_zero_shot_eval(est.params, cfg, prototype_classifier(est.memory_bank), eval_batches())
     print(f"HOST {process_id} eval_top1={ev['top1']:.6f} eval_top5={ev['top5']:.6f}", flush=True)
 
     ckpt_dir = os.environ["SMOKE_CKPT_DIR"]
     loop_cfg = LoopConfig(epochs=1, checkpoint_dir=ckpt_dir, name="smoke")
+    save_state = _host_local_save_state(state, mesh)  # collective: every proc
     if process_id == 0:
-        save_epoch_checkpoint(state, cfg, classes, loop_cfg, epoch=1)
+        save_epoch_checkpoint(save_state, cfg, classes, loop_cfg, epoch=1)
     multihost_utils.sync_global_devices("checkpoint_written")
 
     # continuation path: one more step from the live state. The step donates
@@ -142,7 +152,7 @@ def worker(process_id: int) -> None:
     r_state = r_state.replace(step=jnp.asarray(int(r_meta["step"]), jnp.int32))
     r_state = r_state.replace(opt_state=ckpt.restore_opt_state(r_state.opt_state, r_meta["optimizer"]))
     r_state = r_state.replace(prototypes=proto_snapshot)  # epoch snapshot, set by start_epoch
-    r_state = replicate(r_state, mesh)
+    r_state = shard_train_state(r_state, mesh)
     _, m_res = sharded_step(r_state, batch, jax.random.PRNGKey(99))
     res_loss = float(m_res["loss"])
     print(f"HOST {process_id} cont_loss={cont_loss:.8f} resume_loss={res_loss:.8f}", flush=True)
@@ -152,10 +162,21 @@ def main() -> int:
     if len(sys.argv) > 1:
         worker(int(sys.argv[1]))
         return 0
+    # dp-only (tp=1), then --model-parallelism 2 across the two processes
+    for tp, port in ((1, PORT), (2, PORT + 1)):
+        print(f"=== multihost smoke: tp={tp} ===", flush=True)
+        rc = _run_mode(tp, port)
+        if rc:
+            return rc
+    return 0
+
+
+def _run_mode(tp: int, port: int) -> int:
     import tempfile
 
     ckpt_dir = tempfile.mkdtemp(prefix="smoke_ckpt_")
-    env = dict(os.environ, SMOKE_CKPT_DIR=ckpt_dir)
+    env = dict(os.environ, SMOKE_CKPT_DIR=ckpt_dir, SMOKE_TP=str(tp),
+               SMOKE_PORT=str(port))
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), str(pid)],
@@ -202,8 +223,8 @@ def main() -> int:
     if len(set(tails.values())) != 1 or any(abs(c - r) > 1e-6 for c, r in tails.values()):
         print("MULTIHOST SMOKE: FAILED (resume != continuation)", tails)
         return 1
-    print("MULTIHOST SMOKE: OK — train/eval/bank agree across hosts; "
-          "checkpoint resume matches continuation bitwise")
+    print(f"MULTIHOST SMOKE (tp={tp}): OK — train/eval/bank agree across "
+          "hosts; checkpoint resume matches continuation bitwise")
     return 0
 
 
