@@ -247,11 +247,12 @@ def run(model: str = MODEL, batch: int = BATCH, remat: bool = False,
 
 
 def main() -> int:
-    if len(sys.argv) > 1:  # manual experimentation: bench.py BATCH REMAT [MODEL]
+    if len(sys.argv) > 1:  # manual: bench.py BATCH REMAT [MODEL] [PACKING]
         batch = int(sys.argv[1])
         remat = sys.argv[2] in ("1", "true", "True") if len(sys.argv) > 2 else False
         model = sys.argv[3] if len(sys.argv) > 3 else MODEL
-        print(json.dumps(run(model=model, batch=batch, remat=remat)))
+        packing = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+        print(json.dumps(run(model=model, batch=batch, remat=remat, packing=packing)))
         return 0
     # (batch, remat) ladder: largest config that fits wins. v5e has 16G HBM;
     # bs512 needs per-block rematerialisation (the reference also runs bs512

@@ -32,10 +32,12 @@ def build_fixture(root: str, images: int, size: int) -> None:
 
 
 def run_mode(root: str, batch: int, samples: int, ondevice: bool,
-             context_cap: str = "") -> float:
+             context_cap: str = "", packing: int = 0) -> float:
     name = "odr" if ondevice else "host"
     if context_cap:
         name += f"_cap{context_cap}"
+    if packing:
+        name += f"_pack{packing}"
     cmd = [
         sys.executable, "-m", "latteclip_tpu.train.main",
         "--train-data", os.path.join(root, "webdataset", "train_tars"),
@@ -60,6 +62,8 @@ def run_mode(root: str, batch: int, samples: int, ondevice: bool,
         cmd.append("--ondevice-resize")
     if context_cap:
         cmd += ["--text-context-cap", context_cap]
+    if packing:
+        cmd += ["--text-packing", str(packing)]
     print(f"[{name}] running: epochs=2 bs={batch} samples={samples}", flush=True)
     out = subprocess.run(
         cmd, cwd=REPO, capture_output=True, text=True, timeout=3000
@@ -89,6 +93,9 @@ def main() -> int:
     ap.add_argument("--text-context-cap", default="",
                     help="forwarded to the trainer ('auto' or int); the "
                          "fixture captions are short, so 'auto' is exact")
+    ap.add_argument("--text-packing", type=int, default=0,
+                    help="forwarded to the trainer (e.g. 128): packed "
+                         "variable-length caption/template encodes")
     args = ap.parse_args()
 
     root = tempfile.mkdtemp(prefix="full_loop_")
@@ -98,10 +105,10 @@ def main() -> int:
     results = {}
     if args.mode in ("host", "both"):
         results["host"] = run_mode(root, args.batch, samples, False,
-                                   args.text_context_cap)
+                                   args.text_context_cap, args.text_packing)
     if args.mode in ("ondevice", "both"):
         results["ondevice"] = run_mode(root, args.batch, samples, True,
-                                       args.text_context_cap)
+                                       args.text_context_cap, args.text_packing)
     print("RESULTS", results, flush=True)
     return 0
 
