@@ -71,26 +71,44 @@ def pack_token_rows(
     if R < need:
         raise ValueError(f"rows={rows} < packed need {need}")
 
-    out = np.zeros((R, pack_len), np.int32)
-    positions = np.zeros((R, pack_len), np.int32)
-    seg_ids = np.zeros((R, pack_len), np.int32)
-    eot_row = np.zeros(N, np.int32)
-    eot_col = np.zeros(N, np.int32)
-
+    # next-fit placement: a cheap integer loop over sequences (the running
+    # fill makes it inherently sequential), then ONE vectorized scatter per
+    # plane for the token movement — the packer sits on the input pipeline's
+    # critical path, and a per-token Python loop measurably host-binds the
+    # full training loop on few-core machines (BASELINE.md full-loop rows).
+    seq_row = np.empty(N, np.int64)   # packed row of each sequence
+    seq_col = np.empty(N, np.int64)   # start column within its row
+    seq_seg = np.empty(N, np.int64)   # 1-based segment id within its row
     row, fill, seg_in_row = 0, 0, 0
     for n in range(N):
         ln = int(lengths[n])
         if ln > pack_len - fill:
             row, fill, seg_in_row = row + 1, 0, 0
         seg_in_row += 1
-        sl = slice(fill, fill + ln)
-        out[row, sl] = tokens[n, :ln]
-        positions[row, sl] = np.arange(ln, dtype=np.int32)
-        seg_ids[row, sl] = seg_in_row
-        eot_row[n] = row
-        eot_col[n] = fill + ln - 1
+        seq_row[n] = row
+        seq_col[n] = fill
+        seq_seg[n] = seg_in_row
         fill += ln
-    return PackedText(out, positions, seg_ids, eot_row, eot_col)
+
+    total = int(lengths.sum())
+    tok_seq = np.repeat(np.arange(N, dtype=np.int64), lengths)  # token -> seq
+    cum0 = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    pos = np.arange(total, dtype=np.int64) - cum0[tok_seq]      # pos in seq
+
+    out = np.zeros(R * pack_len, np.int32)
+    positions = np.zeros(R * pack_len, np.int32)
+    seg_ids = np.zeros(R * pack_len, np.int32)
+    dest = seq_row[tok_seq] * pack_len + seq_col[tok_seq] + pos
+    out[dest] = tokens.reshape(-1)[tok_seq * ctx + pos]
+    positions[dest] = pos
+    seg_ids[dest] = seq_seg[tok_seq]
+    return PackedText(
+        out.reshape(R, pack_len),
+        positions.reshape(R, pack_len),
+        seg_ids.reshape(R, pack_len),
+        seq_row.astype(np.int32),
+        (seq_col + lengths - 1).astype(np.int32),
+    )
 
 
 def token_lengths(tokens: np.ndarray) -> np.ndarray:
