@@ -61,7 +61,10 @@ def _normalize_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
             ):
                 out.setdefault(k, v)
         sd = {k: v for k, v in out.items() if not k.startswith("image_adapter.")}
-    if any(k.startswith("text.") for k in sd) and "text_projection" not in sd:
+    if (any(k.startswith("text.") for k in sd) and "text_projection" not in sd
+            and not any(k.startswith("text_decoder.") for k in sd)):
+        # CustomTextCLIP fold — but NOT for CoCa checkpoints, whose canonical
+        # layout keeps the text tower under text.* next to text_decoder.*
         sd = {(k[len("text."):] if k.startswith("text.") else k): v for k, v in sd.items()}
     return sd
 
@@ -912,6 +915,101 @@ def coca_state_dict_to_params(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
     return jax.tree.map(jnp.asarray, params)
 
 
+def _unstack_named_blocks(blocks: Dict[str, Any], prefix: str, extra=None) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`_stack_named_blocks`."""
+    keys = dict(_BLOCK_KEYS)
+    if extra:
+        keys.update(extra)
+    layers = int(np.asarray(blocks["ln_1_scale"]).shape[0])
+    out: Dict[str, np.ndarray] = {}
+    for ours, (suffix, transpose) in keys.items():
+        arr = np.asarray(blocks[ours], dtype=np.float32)
+        for i in range(layers):
+            w = arr[i]
+            out[f"{prefix}.{i}.{suffix}"] = w.T if transpose else w
+    return out
+
+
+_ATTN_POOL_KEYS = {
+    "query": "query",
+    "q_proj_w": "attn.q_proj_weight",
+    "k_proj_w": "attn.k_proj_weight",
+    "v_proj_w": "attn.v_proj_weight",
+    "in_proj_b": "attn.in_proj_bias",
+    "out_proj_w": "attn.out_proj.weight",
+    "out_proj_b": "attn.out_proj.bias",
+    "ln_q_scale": "ln_q.weight",
+    "ln_q_bias": "ln_q.bias",
+    "ln_k_scale": "ln_k.weight",
+    "ln_k_bias": "ln_k.bias",
+}
+
+
+def coca_params_to_state_dict(
+    params: Dict[str, Any],
+    cfg,
+    memory_bank: Optional[np.ndarray] = None,
+    classnames: Optional[List[str]] = None,
+) -> Dict[str, np.ndarray]:
+    """Invert :func:`coca_state_dict_to_params` (reference coca_model.py
+    layout), so CoCa fine-tunes checkpoint in the OpenCLIP ``.pt`` format."""
+    from latteclip_tpu.models.hf_text import HFTextConfig
+
+    params = jax.tree.map(lambda x: np.asarray(x, dtype=np.float32), params)
+    v, t, d = params["visual"], params["text"], params["text_decoder"]
+    P = cfg.vision.patch_size
+    sd: Dict[str, np.ndarray] = {
+        "logit_scale": params["logit_scale"].reshape(()),
+        "visual.conv1.weight": np.ascontiguousarray(
+            v["patch_kernel"].reshape(P, P, 3, -1).transpose(3, 2, 0, 1)),
+        "visual.class_embedding": v["class_embedding"],
+        "visual.positional_embedding": v["pos_embed"],
+        "visual.ln_pre.weight": v["ln_pre_scale"],
+        "visual.ln_pre.bias": v["ln_pre_bias"],
+        "visual.ln_post.weight": v["ln_post_scale"],
+        "visual.ln_post.bias": v["ln_post_bias"],
+        "visual.proj": v["proj"],
+    }
+    sd.update(_unstack_blocks(v["blocks"], "visual.transformer."))
+    if "attn_pool" in v:
+        for ours, theirs in _ATTN_POOL_KEYS.items():
+            sd[f"visual.attn_pool.{theirs}"] = v["attn_pool"][ours]
+    if isinstance(cfg.text, HFTextConfig):
+        from latteclip_tpu.models.hf_text import export_hf_state_dict
+
+        for k, arr in export_hf_state_dict(t, cfg.text).items():
+            sd[f"text.transformer.{k}"] = arr
+        if "proj_w" in t:
+            sd["text.proj.weight"] = np.ascontiguousarray(t["proj_w"].T)
+        if "proj1_w" in t:
+            sd["text.proj.0.weight"] = np.ascontiguousarray(t["proj1_w"].T)
+            sd["text.proj.2.weight"] = np.ascontiguousarray(t["proj2_w"].T)
+    else:
+        sd.update({
+            "text.token_embedding.weight": t["token_embedding"],
+            "text.cls_emb": t["cls_emb"],
+            "text.positional_embedding": t["pos_embed"],
+            "text.ln_final.weight": t["ln_final_scale"],
+            "text.ln_final.bias": t["ln_final_bias"],
+            "text.text_projection": t["text_projection"],
+        })
+        sd.update(_unstack_blocks(t["blocks"], "text.transformer."))
+    sd.update(_unstack_named_blocks(d["blocks"], "text_decoder.resblocks"))
+    sd.update(_unstack_named_blocks(d["cross"], "text_decoder.cross_attn",
+                                    extra=_CROSS_EXTRA))
+    sd.update({
+        "text_decoder.ln_final.weight": d["ln_final_scale"],
+        "text_decoder.ln_final.bias": d["ln_final_bias"],
+        "text_decoder.text_projection": d["text_projection"],
+    })
+    if memory_bank is not None:
+        assert classnames is not None and len(classnames) == len(memory_bank)
+        for name, vec in zip(classnames, np.asarray(memory_bank, dtype=np.float32)):
+            sd[f"memory_bank.{name}"] = vec
+    return {k: w if w.flags["C_CONTIGUOUS"] else np.asarray(w, order="C")
+            for k, w in sd.items()}
+
+
 def pt_state_dict_to_params(
     sd: Dict[str, np.ndarray], cfg: CLIPConfig
 ) -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:
@@ -924,6 +1022,11 @@ def pt_state_dict_to_params(
         for k, v in sd.items()
         if k.startswith("memory_bank.")
     }
+
+    from latteclip_tpu.core.config import CoCaConfig
+
+    if isinstance(cfg, CoCaConfig):
+        return coca_state_dict_to_params(sd, cfg), memory_bank
 
     from latteclip_tpu.core.config import Eva02VisionConfig
 
@@ -1050,7 +1153,11 @@ def params_to_pt_state_dict(
     classnames: Optional[List[str]] = None,
 ) -> Dict[str, np.ndarray]:
     """Invert :func:`pt_state_dict_to_params` (incl. memory_bank.<name> keys)."""
-    from latteclip_tpu.core.config import ConvNeXtVisionConfig, ResNetVisionConfig
+    from latteclip_tpu.core.config import CoCaConfig, ConvNeXtVisionConfig, ResNetVisionConfig
+
+    if isinstance(cfg, CoCaConfig):
+        return coca_params_to_state_dict(
+            params, cfg, memory_bank=memory_bank, classnames=classnames)
 
     params = jax.tree.map(lambda x: np.asarray(x, dtype=np.float32), params)
     v, t = params["visual"], params["text"]

@@ -260,6 +260,11 @@ class CoCaConfig:
     init_logit_scale: float = 2.6592600369
     compute_dtype: str = "bfloat16"
     pad_id: int = 0
+    # preprocessing metadata, same semantics as CLIPConfig (None = OpenAI
+    # mean/std defaults; eval geometry mode)
+    image_mean: tuple = None
+    image_std: tuple = None
+    resize_mode: str = "shortest"
 
 
 def _filter_fields(cls, d: Dict[str, Any]) -> Dict[str, Any]:

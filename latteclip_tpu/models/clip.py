@@ -136,9 +136,17 @@ def encode_text(
     normalize: bool = False,
     remat: bool = False,
 ) -> jnp.ndarray:
+    from latteclip_tpu.core.config import CoCaConfig
     from latteclip_tpu.models.hf_text import HFTextConfig, hf_text_forward
 
-    if isinstance(cfg.text, HFTextConfig):
+    if isinstance(cfg, CoCaConfig):
+        # CoCa text tower: appended cls token + cls-aware mask + cls pooling
+        # (reference coca_model.py:139-145) — NOT argmax pooling; route
+        # through the CoCa tower so eval/bank/classifier builds are correct
+        from latteclip_tpu.models import coca as coca_mod
+
+        feats, _ = coca_mod.encode_text_tokens(params, cfg, tokens, dtype=_dtype(cfg))
+    elif isinstance(cfg.text, HFTextConfig):
         feats = hf_text_forward(
             params["text"], cfg.text, tokens,
             embed_dim=cfg.embed_dim, dtype=_dtype(cfg), remat=remat,

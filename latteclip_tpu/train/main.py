@@ -125,7 +125,14 @@ def build_model(args):
         params, bank_dict, _meta = ckpt.load_clip_pt(pt_load_path(pretrained_src), cfg)
         logger.info("loaded pretrained weights from %s", pretrained_src)
     else:
-        params = clip_mod.init_clip_params(jax.random.PRNGKey(args.seed), cfg)
+        from latteclip_tpu.core.config import CoCaConfig
+
+        if isinstance(cfg, CoCaConfig):
+            from latteclip_tpu.models.coca import init_coca_params
+
+            params = init_coca_params(jax.random.PRNGKey(args.seed), cfg)
+        else:
+            params = clip_mod.init_clip_params(jax.random.PRNGKey(args.seed), cfg)
         bank_dict = {}
     return cfg, params, bank_dict
 
@@ -497,6 +504,12 @@ def main(argv=None) -> int:
     table = build_template_table(tokenizer, classnames, templates)
     if context_cap_table is not None:
         table = context_cap_table
+    from latteclip_tpu.core.config import CoCaConfig
+
+    is_coca = isinstance(cfg, CoCaConfig)
+    if is_coca and args.gamma:
+        raise SystemExit("--gamma (legacy v1 trainer) does not support CoCa "
+                         "models; use --method ours or flyp")
     if args.method == "ours":
         if args.siglip:
             raise SystemExit("--siglip applies to the contrastive baseline "
@@ -529,7 +542,10 @@ def main(argv=None) -> int:
                     args.text_packing, table.shape[0], table.shape[1],
                 )
             step_fn = make_train_step(
-                cfg, optimizer, hp, table, aug=aug, template_packed=template_packed
+                cfg, optimizer, hp, table, aug=aug, template_packed=template_packed,
+                # the v2 objective never touches CoCa's caption decoder;
+                # torch skips grad=None params (no decay) — reproduce that
+                zero_update_subtrees=("text_decoder",) if is_coca else (),
             )
     else:
         if args.siglip and "logit_bias" not in params:
@@ -551,10 +567,24 @@ def main(argv=None) -> int:
             t_params, _, _ = _ckpt.load_clip_pt(args.distill_pretrained, teacher_cfg)
             teacher = (teacher_cfg, t_params)
             logger.info("distilling from %s (%s)", args.distill_model, args.distill_pretrained)
+        coca_weights = None
+        if is_coca:
+            # reference create_loss: "coca" in model name -> CoCaLoss with
+            # these CLI weights (factory.py:325-331)
+            if args.siglip or teacher is not None:
+                raise SystemExit("--siglip / --distill-model do not compose "
+                                 "with CoCa models (reference create_loss "
+                                 "dispatches CoCa first, factory.py:325-341)")
+            coca_weights = (args.coca_caption_loss_weight,
+                            args.coca_contrastive_loss_weight)
+            logger.info(
+                "CoCa fine-tune: CoCaLoss caption_w=%g clip_w=%g",
+                *coca_weights,
+            )
         step_fn = make_flyp_step(
             cfg, optimizer, hp, table,
             use_gt=(args.method == "flyp_gt"), use_siglip=args.siglip,
-            teacher=teacher, aug=aug,
+            teacher=teacher, aug=aug, coca_weights=coca_weights,
         )
 
     state = create_train_state(params, optimizer, bank)

@@ -58,7 +58,13 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--eval-config-path", type=str, default=None,
                    help="YAML task registry (reference eval.yaml format)")
     p.add_argument("--workers", type=int, default=8)
-    p.add_argument("--class-per-image", type=int, default=5)  # accepted for parity
+    p.add_argument("--class-per-image", type=int, default=5,
+                   help="accepted no-op: in the reference it sizes the k-entry "
+                        "'text'/'zeroshot_classnames' webdataset fields "
+                        "(data.py:415-449) which the reachable v2/FLYP "
+                        "trainers ignore beyond index 0 (v1's squeeze(1) only "
+                        "type-checks at k=1); trajectory oracles pass "
+                        "without it")
     p.add_argument("--extract-features-path", type=str, default=None,
                    help="run the pseudo-label extraction job into this dir and exit")
     p.add_argument("--extract-features-split", type=str, default="train")
@@ -304,7 +310,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--reward-model", type=str, default=None, help="RLCF reward model config name")
     p.add_argument("--reward-pretrained", type=str, default=None)
     p.add_argument("--alpha", type=float, default=0.01)
-    p.add_argument("--beta", type=float, default=0.01)   # accepted for parity
+    p.add_argument("--beta", type=float, default=0.01,
+                   help="accepted no-op: declared by the reference's params.py "
+                        "but never read anywhere in its source (grep: zero "
+                        "args.beta uses)")
     p.add_argument("--gamma", type=float, default=0.0,
                    help="momentum weight of image features in the prototype "
                         "EMA update; non-zero selects the reference's legacy "
@@ -319,7 +328,12 @@ def parse_args(argv=None) -> argparse.Namespace:
         help="replay the reference's two latent fusion bugs bit-for-bit "
         "(requires batch == embed_dim; see train/step.py::fuse_text_streams)",
     )
-    p.add_argument("--text-type", type=str, default="concat")  # accepted for parity
+    p.add_argument("--text-type", type=str, default="concat",
+                   help="accepted no-op: shapes the reference's 'text' "
+                        "webdataset field (data.py:431-438), which the "
+                        "reachable v2/FLYP trainers never consume (they read "
+                        "per_image/per_group/label_text); the trajectory "
+                        "oracle vs the real v2 passes without it")
 
     # profiling (TPU counterpart of the reference's --trace / --torchcompile /
     # profiler.py tooling: model.py:762-775, main.py:463-465, profiler.py:82-122)

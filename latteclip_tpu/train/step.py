@@ -302,11 +302,19 @@ def make_train_step(
     template_table: jnp.ndarray,
     aug: Optional[T.AugConfig] = None,
     template_packed=None,
+    zero_update_subtrees: Tuple[str, ...] = (),
 ):
     """Build the jittable LatteCLIP step: (state, batch, rng) -> (state, metrics).
 
     ``template_packed``: a ``data.packing.PackedText`` of the template table
     (static — packed once here) for the ``hp.text_packing`` path.
+
+    ``zero_update_subtrees``: top-level param subtrees whose optimizer
+    updates are zeroed each step — params the objective never touches (e.g.
+    CoCa's caption decoder under the v2 objective). Torch optimizers SKIP
+    grad=None params entirely (no step, no weight decay); our zero
+    cotangents would still incur AdamW decay, so the updates are zeroed to
+    reproduce the skip exactly (same device trick as the v1 text freeze).
     """
     aug = aug or T.AugConfig()
     template_table = jnp.asarray(template_table)
@@ -331,6 +339,10 @@ def make_train_step(
         )
 
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        for sub in zero_update_subtrees:
+            updates = dict(
+                updates, **{sub: jax.tree.map(jnp.zeros_like, updates[sub])}
+            )
         params = optax.apply_updates(state.params, updates)
         params = dict(params, logit_scale=jnp.clip(params["logit_scale"], 0.0, LOG100))
 
@@ -500,9 +512,31 @@ def make_v1_step(
 # ---------------------------------------------------------------------------
 
 def flyp_loss_fn(params, cfg, hp, batch, images, template_table, use_gt: bool,
-                 use_siglip: bool = False, teacher=None):
-    image_features = clip_mod.encode_image(params, cfg, images, normalize=True, remat=hp.remat)
+                 use_siglip: bool = False, teacher=None, coca_weights=None):
     labels = batch["gt_labels"] if use_gt else batch["zs_preds"]
+    if coca_weights is not None:
+        # CoCa fine-tune: full forward (contrastive latents + caption
+        # decoder) on the per-sample template text of the (pseudo-)label,
+        # CoCaLoss = clip_w * InfoNCE + caption_w * CE — the reference's
+        # create_loss dispatch for "coca" models (factory.py:325-331 ->
+        # loss.py:278-321) under train_one_epoch_original_clip. Per-sample
+        # forwards (no template dedup): the caption decoder cross-attends
+        # each sample's own image tokens, exactly like the reference.
+        from latteclip_tpu.models.coca import coca_forward, coca_loss
+
+        caption_w, clip_w = coca_weights
+        tokens = template_table[labels]
+        out = coca_forward(params, cfg, images, tokens)
+        losses = coca_loss(out, caption_loss_weight=caption_w,
+                           clip_loss_weight=clip_w, pad_id=cfg.pad_id)
+        loss = losses["contrastive_loss"] + losses["caption_loss"]
+        return loss, {
+            "loss": loss,
+            "contrastive_loss": losses["contrastive_loss"],
+            "caption_loss": losses["caption_loss"],
+            "logit_scale": out["logit_scale"],
+        }
+    image_features = clip_mod.encode_image(params, cfg, images, normalize=True, remat=hp.remat)
     # encode unique class templates once, gather rows (gradient-identical)
     class_text_feats = clip_mod.encode_text(
         params, cfg, template_table, normalize=True, remat=hp.text_remat
@@ -554,7 +588,10 @@ def make_flyp_step(
     aug: Optional[T.AugConfig] = None,
     use_siglip: bool = False,
     teacher: Optional[tuple] = None,
+    coca_weights: Optional[Tuple[float, float]] = None,
 ):
+    """``coca_weights=(caption_w, clip_w)`` selects the CoCaLoss branch for
+    CoCa configs (reference factory.py:325-331); None = plain CLIP loss."""
     aug = aug or T.AugConfig()
     template_table = jnp.asarray(template_table)
     if teacher is not None:
@@ -572,7 +609,7 @@ def make_flyp_step(
         grad_fn = jax.value_and_grad(flyp_loss_fn, has_aux=True)
         (loss, metrics), grads = grad_fn(
             state.params, cfg, hp, batch, images, template_table, use_gt, use_siglip,
-            teacher,
+            teacher, coca_weights,
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
