@@ -167,6 +167,85 @@ def test_flyp_coca_step_trains_all_towers():
     assert float(state2.params["logit_scale"]) <= np.log(100.0) + 1e-6
 
 
+def test_v2_coca_beyond_reference():
+    """The v2 objective on a CoCa model — a path the reference CANNOT run:
+    its CustomCLIP.__init__ dereferences clip_model.transformer
+    (model.py:479), which CoCa does not have (its text tower is .text), and
+    its original_clip trainer calls CoCaLoss without logits/labels
+    (train.py:166-171). Both crashes are asserted here, then our step's
+    invariants are pinned: trains the contrastive towers, keeps the caption
+    decoder BITWISE at init (torch's grad=None skip semantics via zeroed
+    updates), clamps logit_scale."""
+    from latteclip_tpu.train.state import build_template_table, init_memory_bank
+    from latteclip_tpu.train.step import make_train_step
+    from latteclip_tpu.models.tokenizer import get_tokenizer
+
+    oc = load_reference_open_clip()
+    if oc is not None:
+        import torch
+
+        torch.manual_seed(0)
+        ref_coca = oc.coca_model.CoCa(
+            embed_dim=COCA_SMALL["embed_dim"],
+            multimodal_cfg=COCA_SMALL["multimodal_cfg"],
+            text_cfg=COCA_SMALL["text_cfg"],
+            vision_cfg=COCA_SMALL["vision_cfg"],
+        )
+        with pytest.raises(AttributeError, match="transformer"):
+            oc.model.CustomCLIP(ref_coca, ["a", "b"], lambda t: t)
+
+    cfg = _cfg()
+    B = COCA_SMALL["embed_dim"]  # fusion bug-compat path needs B == E
+    CLASSES = ["a", "b", "c", "d"]
+    params = init_coca_params(jax.random.PRNGKey(21), cfg)
+    table = _template_table(cfg)
+    bank0 = np.asarray(table[:, :1], np.float32)  # placeholder; real init below
+    rng = np.random.default_rng(17)
+
+    class _Tok:
+        def __call__(self, texts):
+            r = np.random.RandomState(abs(hash(tuple(texts))) % 2**31)
+            ctx = cfg.text.context_length
+            out = np.zeros((len(texts), ctx), np.int32)
+            for i in range(len(texts)):
+                n = r.randint(4, ctx)
+                out[i, :n] = r.randint(1, cfg.text.vocab_size - 1, size=n)
+            return out
+
+    tok = _Tok()
+    bank0 = np.asarray(init_memory_bank(params, cfg, tok, CLASSES,
+                                        [lambda c: f"a photo of a {c}."]))
+    opt = optax.adamw(1e-3)
+    state = create_train_state(params, opt, bank0).start_epoch()
+    step = jax.jit(make_train_step(
+        cfg, opt, LatteHParams(augment=False), table,
+        zero_update_subtrees=("text_decoder",)))
+    batch = {
+        "images": rng.integers(0, 255, size=(B, 32, 32, 3)).astype(np.uint8),
+        "per_image_tokens": _template_table(cfg, C=B, seed=5),
+        "per_group_tokens": _template_table(cfg, C=B, seed=6),
+        "zs_preds": rng.integers(0, 4, size=(B,)).astype(np.int32),
+        "gt_labels": rng.integers(0, 4, size=(B,)).astype(np.int32),
+    }
+    for i in range(2):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        assert np.isfinite(float(metrics["loss"]))
+
+    # contrastive towers trained
+    assert np.abs(np.asarray(state.params["text"]["cls_emb"])
+                  - np.asarray(params["text"]["cls_emb"])).max() > 0
+    assert np.abs(np.asarray(state.params["visual"]["proj"])
+                  - np.asarray(params["visual"]["proj"])).max() > 0
+    # caption decoder BITWISE at init (no AdamW decay drift)
+    d_init = dict((jax.tree_util.keystr(p), np.asarray(a)) for p, a in
+                  jax.tree_util.tree_leaves_with_path(params["text_decoder"]))
+    for p, a in jax.tree_util.tree_leaves_with_path(state.params["text_decoder"]):
+        np.testing.assert_array_equal(
+            np.asarray(a), d_init[jax.tree_util.keystr(p)],
+            err_msg=jax.tree_util.keystr(p))
+    assert float(state.params["logit_scale"]) <= np.log(100.0) + 1e-6
+
+
 def test_coca_encode_dispatch_matches_coca_forward():
     """clip_mod.encode_image/encode_text on a CoCaConfig must equal the
     latents coca_forward produces (eval/bank/classifier builds rely on it)."""
