@@ -159,7 +159,8 @@ def analytic_step_tflops(cfg, batch: int, num_classes: int, ctx: int,
 
 
 def run(model: str = MODEL, batch: int = BATCH, remat: bool = False,
-        ctx: int = 77, packing: int = 0, remat_text=None) -> dict:
+        ctx: int = 77, packing: int = 0, remat_text=None,
+        remat_vision=None) -> dict:
     import jax
 
     from latteclip_tpu.core.config import get_model_config
@@ -185,7 +186,8 @@ def run(model: str = MODEL, batch: int = BATCH, remat: bool = False,
         table = np.asarray(table)[:, :ctx]
     optimizer = make_optimizer(make_schedule("cosine", 1e-5, warmup=10, total_steps=1000))
     state = create_train_state(params, optimizer, bank)
-    hp = LatteHParams(remat=remat, text_packing=bool(packing), remat_text=remat_text)
+    hp = LatteHParams(remat=remat, text_packing=bool(packing),
+                      remat_text=remat_text, remat_vision=remat_vision)
     from latteclip_tpu.core.mesh import tpu_compiler_options
 
     template_packed = None

@@ -496,6 +496,7 @@ def main(argv=None) -> int:
         use_finetune_pseudolabel=args.use_finetune_pseudolabel,
         remat=args.grad_checkpointing,
         remat_text=args.grad_checkpointing_text,
+        remat_vision=args.grad_checkpointing_vision,
         bug_compat=args.fusion_bug_compat,
         fuse_text_fwd=args.fuse_text_forward and not args.text_packing,
         text_packing=bool(args.text_packing) and args.method == "ours"

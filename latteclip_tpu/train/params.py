@@ -86,6 +86,12 @@ def parse_args(argv=None) -> argparse.Namespace:
                    default=None, metavar="BOOL",
                    help="per-tower override: rematerialize the TEXT tower "
                         "independently of --grad-checkpointing (unset: follow it)")
+    p.add_argument("--grad-checkpointing-vision", type=lambda s: s.lower() in ("1", "true", "yes"),
+                   default=None, metavar="BOOL",
+                   help="per-tower override: rematerialize the VISION tower "
+                        "independently of --grad-checkpointing (unset: follow "
+                        "it); vision residuals are small at B/32 (L=50), so "
+                        "false can trade HBM for recompute there")
     p.add_argument("--force-quick-gelu", action="store_true")
     p.add_argument("--force-image-size", type=int, default=None,
                    help="override the config's vision image size (reference "

@@ -59,6 +59,7 @@ class LatteHParams:
     use_finetune_pseudolabel: float = 1.0
     remat: bool = False                 # grad checkpointing (off: TPU HBM fits)
     remat_text: Optional[bool] = None   # per-tower override; None -> follow remat
+    remat_vision: Optional[bool] = None  # per-tower override; None -> follow remat
     augment: bool = True
     bug_compat: bool = False            # replay the reference's fusion quirks (below)
     # ONE text forward over [C+2B, 77] (templates + both caption streams,
@@ -76,6 +77,10 @@ class LatteHParams:
     @property
     def text_remat(self) -> bool:
         return self.remat if self.remat_text is None else self.remat_text
+
+    @property
+    def vision_remat(self) -> bool:
+        return self.remat if self.remat_vision is None else self.remat_vision
 
 
 def _fuse(
@@ -161,7 +166,7 @@ def latteclip_loss_fn(
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     zs_preds = batch["zs_preds"]
 
-    image_features = clip_mod.encode_image(params, cfg, images, normalize=True, remat=hp.remat)
+    image_features = clip_mod.encode_image(params, cfg, images, normalize=True, remat=hp.vision_remat)
     logit_scale = jnp.exp(params["logit_scale"])
 
     # fine-tune pseudo-labels from the live prototype classifier (train.py:384-411)
@@ -393,7 +398,7 @@ def v1_loss_fn(params, cfg, hp, batch, images, memory_bank, template_table):
 
     Returns the loss and the arrays the γ bank update needs.
     """
-    image_features = clip_mod.encode_image(params, cfg, images, normalize=True, remat=hp.remat)
+    image_features = clip_mod.encode_image(params, cfg, images, normalize=True, remat=hp.vision_remat)
     logit_scale = jnp.exp(params["logit_scale"])
     zs_preds = batch["zs_preds"]
 
@@ -536,7 +541,7 @@ def flyp_loss_fn(params, cfg, hp, batch, images, template_table, use_gt: bool,
             "caption_loss": losses["caption_loss"],
             "logit_scale": out["logit_scale"],
         }
-    image_features = clip_mod.encode_image(params, cfg, images, normalize=True, remat=hp.remat)
+    image_features = clip_mod.encode_image(params, cfg, images, normalize=True, remat=hp.vision_remat)
     # encode unique class templates once, gather rows (gradient-identical)
     class_text_feats = clip_mod.encode_text(
         params, cfg, template_table, normalize=True, remat=hp.text_remat

@@ -427,3 +427,29 @@ def test_fused_text_forward_matches_separate():
         np.testing.assert_allclose(
             np.asarray(sa.params["text"]["text_projection"]),
             np.asarray(sb.params["text"]["text_projection"]), rtol=0, atol=1e-5)
+
+
+def test_per_tower_remat_overrides_equivalent(setup):
+    """remat / remat_text / remat_vision overrides change scheduling only.
+
+    jax.checkpoint recomputes the same math, so any combination of per-tower
+    remat flags must leave the step's loss, bank, and params unchanged
+    (the bench's remat_vision=False lever relies on this).
+    """
+    params, tok, bank, table, opt, state = setup
+    batch = _batch(np.random.default_rng(11))
+    base = jax.jit(make_train_step(TINY, opt, LatteHParams(augment=False, remat=True), table))
+    s0, m0 = base(state, batch, jax.random.PRNGKey(0))
+    for hp in (
+        LatteHParams(augment=False, remat=True, remat_vision=False),
+        LatteHParams(augment=False, remat=True, remat_text=False),
+        LatteHParams(augment=False, remat=False, remat_vision=True),
+    ):
+        step = jax.jit(make_train_step(TINY, opt, hp, table))
+        s1, m1 = step(state, batch, jax.random.PRNGKey(0))
+        assert abs(float(m0["loss"]) - float(m1["loss"])) < 1e-5, hp
+        np.testing.assert_allclose(
+            np.asarray(s0.memory_bank), np.asarray(s1.memory_bank), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(s0.params["visual"]["proj"]),
+            np.asarray(s1.params["visual"]["proj"]), rtol=0, atol=1e-5)
