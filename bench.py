@@ -295,6 +295,7 @@ def main() -> int:
         # on it, so the distribution is pinned in caption_lengths above.
         packed_result = run(batch=batch, remat=remat, packing=128)
         result["value_packed"] = packed_result["value"]
+        result["vs_baseline_packed"] = packed_result["vs_baseline"]
     except Exception as e:
         print(f"# packed run failed: {e}", file=sys.stderr)
     try:
