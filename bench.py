@@ -134,18 +134,27 @@ def measure_gemm_roofline(n: int = 8192, iters: int = 20) -> float:
 
 
 def analytic_step_tflops(cfg, batch: int, num_classes: int, ctx: int,
-                         remat: bool) -> float:
+                         remat: bool, remat_vision=None, remat_text=None,
+                         packed_rows=None) -> float:
     """GEMM FLOPs of one fused v2 train step, in TF — the MFU numerator.
 
     Analytic, following BASELINE.md's "Roofline" accounting exactly (vision
     fwd 35.1 GF/img at ViT-B/16, text 2 caption streams + C deduped
-    templates, training multiplier 3.9x under per-block remat / 3x without).
+    templates, per-tower training multiplier 3.9x under per-block remat /
+    3x without — the ADVICE r4 fix: each tower takes ITS resolved remat
+    flag, so per-tower overrides don't skew step_tflops/mfu).
     Computed from the model config rather than XLA ``cost_analysis()``,
     which under-reports ~12x on the axon relay backend (measured: 7.76 TF
-    vs the ~95 TF this formula and BASELINE.md agree on)."""
-    def tower_fwd(n_tok: int, width: int, layers: int) -> float:
-        # per block: qkv/out/mlp GEMMs 24*N*D^2 + attention dots 4*N^2*D
-        return layers * (24 * n_tok * width ** 2 + 4 * n_tok ** 2 * width)
+    vs the ~95 TF this formula and BASELINE.md agree on).
+
+    ``packed_rows``: optional ``(caption_rows, template_rows, pack_len)`` —
+    the EXECUTED text work of the --text-packing path (every [pack_len] row
+    runs full GEMMs + one [P,P] attention pass); replaces the padded
+    ``(2B+C) x ctx`` accounting so mfu_packed reflects executed FLOPs."""
+    def tower_fwd(n_tok: int, width: int, layers: int, n_seq: int = 1) -> float:
+        # per block: qkv/out/mlp GEMMs 24*N*D^2 + attention dots 4*L^2*D/seq
+        return layers * (24 * n_seq * n_tok * width ** 2
+                         + 4 * n_seq * n_tok ** 2 * width)
 
     v, t = cfg.vision, cfg.text
     grid = v.image_size // v.patch_size
@@ -153,9 +162,16 @@ def analytic_step_tflops(cfg, batch: int, num_classes: int, ctx: int,
     vis = (tower_fwd(n_img, v.width, v.layers)
            + 2 * n_img * (v.patch_size ** 2 * 3) * v.width
            + 2 * v.width * cfg.embed_dim) * batch
-    txt_seq = tower_fwd(ctx, t.width, t.layers) + 2 * t.width * cfg.embed_dim
-    txt = txt_seq * (2 * batch + num_classes)
-    return (vis + txt) * (3.9 if remat else 3.0) / 1e12
+    proj = 2 * t.width * cfg.embed_dim * (2 * batch + num_classes)
+    if packed_rows is None:
+        txt = (tower_fwd(ctx, t.width, t.layers)) * (2 * batch + num_classes) + proj
+    else:
+        cap_rows, tpl_rows, pack_len = packed_rows
+        txt = tower_fwd(pack_len, t.width, t.layers,
+                        n_seq=cap_rows + tpl_rows) + proj
+    mult_v = 3.9 if (remat if remat_vision is None else remat_vision) else 3.0
+    mult_t = 3.9 if (remat if remat_text is None else remat_text) else 3.0
+    return (vis * mult_v + txt * mult_t) / 1e12
 
 
 def run(model: str = MODEL, batch: int = BATCH, remat: bool = False,
@@ -191,16 +207,19 @@ def run(model: str = MODEL, batch: int = BATCH, remat: bool = False,
     from latteclip_tpu.core.mesh import tpu_compiler_options
 
     template_packed = None
+    tpl_rows = 0
     if packing:
         from latteclip_tpu.data.packing import pack_template_table
 
         template_packed = pack_template_table(np.asarray(table), packing)
+        tpl_rows = template_packed.tokens.shape[0]
     step = jax.jit(make_train_step(cfg, optimizer, hp, table,
                                    template_packed=template_packed),
                    donate_argnums=(0,), compiler_options=tpu_compiler_options())
 
     host_batch = make_batch(batch, cfg.vision.image_size, len(classes), ctx=ctx,
                             eot_id=tokenizer.eot_token_id, longtail=bool(packing))
+    rows = 0
     if packing:
         from latteclip_tpu.data.packing import (
             pack_caption_batch,
@@ -240,7 +259,10 @@ def run(model: str = MODEL, batch: int = BATCH, remat: bool = False,
         "vs_baseline": round(imgs_per_sec / baseline, 3) if baseline else None,
     }
     try:
-        step_tf = analytic_step_tflops(cfg, batch, len(classes), ctx, remat)
+        step_tf = analytic_step_tflops(
+            cfg, batch, len(classes), ctx, remat,
+            remat_vision=remat_vision, remat_text=remat_text,
+            packed_rows=(rows, tpl_rows, packing) if packing else None)
         out["step_tflops"] = round(step_tf, 2)
         out["flops_per_sec"] = step_tf * 1e12 * MEASURE_STEPS / dt
     except AttributeError:  # non-ViT tower: no analytic model
@@ -273,6 +295,7 @@ def main() -> int:
         raise SystemExit(f"all bench configs failed: {last_err}")
 
     # robustness fields (VERDICT r3 #2) — never let them sink the headline
+    roofline = None
     try:
         roofline = measure_gemm_roofline()
         result["gemm_roofline_tflops"] = round(roofline / 1e12, 1)
@@ -296,6 +319,12 @@ def main() -> int:
         packed_result = run(batch=batch, remat=remat, packing=128)
         result["value_packed"] = packed_result["value"]
         result["vs_baseline_packed"] = packed_result["vs_baseline"]
+        if roofline and "flops_per_sec" in packed_result:
+            # session-invariant efficiency of the recommended production
+            # config (VERDICT r4 #8): executed packed-step FLOPs vs the
+            # same-session GEMM roofline
+            result["mfu_packed"] = round(
+                packed_result["flops_per_sec"] / roofline, 3)
     except Exception as e:
         print(f"# packed run failed: {e}", file=sys.stderr)
     try:
@@ -307,6 +336,8 @@ def main() -> int:
         b32p = run(model="ViT-B-32", batch=batch, remat=remat, packing=128)
         result["value_b32_packed"] = b32p["value"]
         result["vs_baseline_b32_packed"] = b32p["vs_baseline"]
+        if roofline and "flops_per_sec" in b32p:
+            result["mfu_b32_packed"] = round(b32p["flops_per_sec"] / roofline, 3)
     except Exception as e:
         print(f"# b32 run failed: {e}", file=sys.stderr)
 

@@ -305,6 +305,25 @@ def _eva_visual_to_sd(v: Dict[str, Any], cfg) -> Dict[str, np.ndarray]:
     return sd
 
 
+def _eva02_rope_qk_perm(ipw: np.ndarray, ipb: np.ndarray, cfg,
+                        inverse: bool = False):
+    """Permute q/k output channels between timm's interleaved rope pairing
+    and models/eva02.py's rotate-half convention (exact conjugation — see
+    ``eva02.rope_perm_interleaved_to_half``). v channels untouched; no-op
+    when the trunk doesn't use rope (the E variant)."""
+    if not cfg.use_rope:
+        return ipw, ipb
+    from latteclip_tpu.models.eva02 import rope_perm_interleaved_to_half
+
+    D, Dh = cfg.width, cfg.head_width
+    perm = rope_perm_interleaved_to_half(Dh)
+    if inverse:
+        perm = np.argsort(perm)
+    idx = np.arange(D).reshape(D // Dh, Dh)[:, perm].reshape(-1)
+    full = np.concatenate([idx, D + idx, 2 * D + np.arange(D)])
+    return ipw[:, full], ipb[full]
+
+
 def _eva02_visual_from_sd(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
     """timm EVA02 keys (``visual.trunk.*``; see models/eva02.py) -> pytree.
 
@@ -312,7 +331,10 @@ def _eva02_visual_from_sd(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
     (implicit-zero k) or separate ``attn.{q,k,v}_proj`` (biasless k) both
     pack into one ``in_proj``; the optional inner ``attn.norm`` and the
     SwiGLU ``mlp.{fc1_g,fc1_x,norm,fc2}`` vs plain ``mlp.{fc1,fc2}`` follow
-    the config flags."""
+    the config flags. Rope-bearing trunks additionally get their q/k
+    channels permuted from timm's interleaved pairing to our rotate-half
+    convention (``_eva02_rope_qk_perm``) so real EVA-CLIP checkpoints
+    compute identically."""
 
     def f32(key):
         return np.asarray(sd[key], np.float32)
@@ -329,18 +351,21 @@ def _eva02_visual_from_sd(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
         add("ln_1_scale", f32(f"{pre}.norm1.weight"))
         add("ln_1_bias", f32(f"{pre}.norm1.bias"))
         if f"{pre}.attn.qkv.weight" in sd:
-            add("in_proj_w", f32(f"{pre}.attn.qkv.weight").T)
-            add("in_proj_b", np.concatenate([
+            ipw = f32(f"{pre}.attn.qkv.weight").T
+            ipb = np.concatenate([
                 f32(f"{pre}.attn.q_bias"), np.zeros(D, np.float32),
-                f32(f"{pre}.attn.v_bias")]))
+                f32(f"{pre}.attn.v_bias")])
         else:
-            add("in_proj_w", np.concatenate([
+            ipw = np.concatenate([
                 f32(f"{pre}.attn.q_proj.weight").T,
                 f32(f"{pre}.attn.k_proj.weight").T,
-                f32(f"{pre}.attn.v_proj.weight").T], axis=1))
-            add("in_proj_b", np.concatenate([
+                f32(f"{pre}.attn.v_proj.weight").T], axis=1)
+            ipb = np.concatenate([
                 f32(f"{pre}.attn.q_proj.bias"), np.zeros(D, np.float32),
-                f32(f"{pre}.attn.v_proj.bias")]))
+                f32(f"{pre}.attn.v_proj.bias")])
+        ipw, ipb = _eva02_rope_qk_perm(ipw, ipb, cfg)
+        add("in_proj_w", ipw)
+        add("in_proj_b", ipb)
         if cfg.inner_attn_norm:
             add("attn_norm_scale", f32(f"{pre}.attn.norm.weight"))
             add("attn_norm_bias", f32(f"{pre}.attn.norm.bias"))
@@ -400,6 +425,7 @@ def _eva02_visual_to_sd(v: Dict[str, Any], cfg) -> Dict[str, np.ndarray]:
         sd[f"{pre}.norm1.bias"] = np.asarray(b["ln_1_bias"][i], np.float32)
         ipw = np.asarray(b["in_proj_w"][i], np.float32)
         ipb = np.asarray(b["in_proj_b"][i], np.float32)
+        ipw, ipb = _eva02_rope_qk_perm(ipw, ipb, cfg, inverse=True)
         if cfg.qkv_fused:
             sd[f"{pre}.attn.qkv.weight"] = t(ipw)
             sd[f"{pre}.attn.q_bias"] = ipb[:D].copy()

@@ -17,11 +17,16 @@ arXiv 2303.15389 Table 1):
 * **2-D axial rope** on q/k, identity on the class token: each head-dim
   half encodes one image axis (y then x) with ``dim/4`` frequency bands
   ``temperature^(-4i/dim)``; rotation uses the non-interleaved
-  (rotate-half) convention. DOCUMENTED ASSUMPTION: timm's
-  ``RotaryEmbeddingCat`` builds the same axial frequencies; its channel
-  ordering cannot be cross-checked in this environment (no timm, no
-  weights, zero egress) — ``rope_sin_cos`` isolates the layout so a single
-  permutation fixes it if real-weight parity ever disagrees;
+  (rotate-half) convention INTERNALLY. timm's ``RotaryEmbeddingCat`` +
+  ``apply_rot_embed_cat`` use the same axial frequencies but INTERLEAVED
+  channel pairing; the checkpoint importer converts between the two by an
+  exact q/k channel permutation (``rope_perm_interleaved_to_half`` below,
+  applied in ``core/checkpoint.py::_eva02_rope_qk_perm``; conjugation
+  pinned in ``tests/test_eva02.py``). Residual caveat: timm's source is
+  not in this environment to diff, so the interleaved semantics are
+  transcribed from its published ``pos_embed_sincos.py`` behaviour — the
+  layout stays isolated here so one permutation change fixes any
+  real-weight disagreement;
 * **post-norm blocks + plain MLP, no rope** (the E variant — EVA-CLIP's
   enormous tower predates the TrV changes): ``x += LN1(attn(x))``,
   ``x += LN2(mlp(x))``;
@@ -80,6 +85,35 @@ def rope_sin_cos(grid_h: int, grid_w: int, head_dim: int,
     if with_cls:
         a = jnp.concatenate([jnp.zeros((1, head_dim), jnp.float32), a], axis=0)
     return jnp.sin(a), jnp.cos(a)
+
+
+def rope_perm_interleaved_to_half(head_dim: int):
+    """Channel permutation mapping timm's INTERLEAVED rope pairing onto this
+    module's rotate-half convention.
+
+    timm applies EVA02 rope via ``apply_rot_embed_cat`` (timm
+    ``layers/pos_embed_sincos.py``): channels pair as ``(2i, 2i+1)`` with
+    ``rot(x) = stack([-x[..., 1::2], x[..., ::2]])`` and the axial angle
+    vector ``repeat_interleave(2)``-expanded, so channels ``2i``/``2i+1``
+    share angle ``a_i``. This module pairs ``(i, i + D/2)`` (rotate-half)
+    with the angle vector duplicated, so channels ``i``/``i + D/2`` share
+    ``a_i``. The two are EXACTLY conjugate under the channel permutation
+    ``new[i] = old[2i], new[i + D/2] = old[2i + 1]`` applied to q and k:
+    per-channel angles and rotation partners map 1:1 (sign included), and
+    q·k dot products are invariant under any simultaneous q/k channel
+    permutation — so permuting the checkpoint's q/k projection output
+    channels at import makes our rotate-half forward reproduce timm's
+    computation exactly (``tests/test_eva02.py`` pins this against an
+    independent interleaved-convention implementation). The inverse
+    (``np.argsort``) restores timm layout at export.
+    """
+    import numpy as np
+
+    half = head_dim // 2
+    perm = np.empty(head_dim, np.int64)
+    perm[:half] = np.arange(half) * 2
+    perm[half:] = np.arange(half) * 2 + 1
+    return perm
 
 
 def apply_rope_packed(qkv: jnp.ndarray, num_heads: int,

@@ -406,13 +406,138 @@ def syntax_mask_tokenize(
     return out
 
 
+class MiniSentencePiece:
+    """Dependency-free sentencepiece ``.model`` reader + unigram encoder.
+
+    Parses the serialized ``ModelProto`` directly off the protobuf wire
+    format (varint / fixed32 / length-delimited — the same hand-rolled
+    discipline as the repo's TFRecord/Event writers) and encodes with the
+    unigram Viterbi algorithm the sentencepiece library uses: best-scoring
+    segmentation of the ``▁``-marked text over the vocab pieces, unknown
+    codepoints falling back to BYTE pieces when the vocab carries them,
+    else the UNKNOWN piece. Normalization is limited to the
+    whitespace→``▁`` convention with a dummy prefix (SigLIP canonicalizes
+    its text upstream — ``canonicalize_text`` — so the vocab's NFKC rules
+    are a no-op on what this tokenizer actually sees).
+
+    Un-gates ``SigLipTokenizer`` construction when the ``sentencepiece``
+    package is absent (VERDICT r4 #9); the real c4-en/mc4 vocab files are
+    still required (zero egress — the download-URL error stands).
+    """
+
+    _UNK_PENALTY = 10.0  # sentencepiece kUnkPenalty
+
+    def __init__(self, model_bytes: bytes):
+        self.pieces: list = []      # (piece str, score, type)
+        self._ids: Dict[str, int] = {}
+        self._byte_ids: Dict[int, int] = {}
+        self.unk_id = 0
+        min_score = 0.0
+        for fno, wt, val in self._fields(model_bytes):
+            if fno == 1 and wt == 2:  # repeated SentencePiece
+                piece, score, ptype = "", 0.0, 1
+                for sfno, swt, sval in self._fields(val):
+                    if sfno == 1 and swt == 2:
+                        piece = sval.decode("utf-8")
+                    elif sfno == 2 and swt == 5:
+                        import struct
+
+                        score = struct.unpack("<f", sval)[0]
+                    elif sfno == 3 and swt == 0:
+                        ptype = sval
+                idx = len(self.pieces)
+                self.pieces.append((piece, score, ptype))
+                if ptype == 2:      # UNKNOWN
+                    self.unk_id = idx
+                elif ptype == 6:    # BYTE ("<0xAB>")
+                    self._byte_ids[int(piece[3:5], 16)] = idx
+                elif ptype in (1, 4):  # NORMAL / USER_DEFINED
+                    self._ids[piece] = idx
+                    min_score = min(min_score, score)
+        self._max_piece_len = max((len(p) for p in self._ids), default=1)
+        self._unk_score = min_score - self._UNK_PENALTY
+
+    @classmethod
+    def from_file(cls, path: str) -> "MiniSentencePiece":
+        with open(path, "rb") as f:
+            return cls(f.read())
+
+    @staticmethod
+    def _fields(buf: bytes):
+        """Iterate protobuf (field_number, wire_type, value) triples."""
+        i, n = 0, len(buf)
+        while i < n:
+            tag, i = MiniSentencePiece._varint(buf, i)
+            fno, wt = tag >> 3, tag & 7
+            if wt == 0:
+                val, i = MiniSentencePiece._varint(buf, i)
+            elif wt == 1:
+                val, i = buf[i:i + 8], i + 8
+            elif wt == 2:
+                ln, i = MiniSentencePiece._varint(buf, i)
+                val, i = buf[i:i + ln], i + ln
+            elif wt == 5:
+                val, i = buf[i:i + 4], i + 4
+            else:
+                raise ValueError(f"unsupported protobuf wire type {wt}")
+            yield fno, wt, val
+
+    @staticmethod
+    def _varint(buf: bytes, i: int):
+        out = shift = 0
+        while True:
+            b = buf[i]
+            i += 1
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out, i
+            shift += 7
+
+    def encode(self, text: str) -> list:
+        """Unigram Viterbi piece ids (no specials appended)."""
+        s = "▁" + text.replace(" ", "▁")  # dummy prefix + space mark
+        n = len(s)
+        NEG = float("-inf")
+        best = [NEG] * (n + 1)
+        back = [None] * (n + 1)  # (start, token_id or None=unk char)
+        best[0] = 0.0
+        for i in range(n):
+            if best[i] == NEG:
+                continue
+            for j in range(i + 1, min(n, i + self._max_piece_len) + 1):
+                tid = self._ids.get(s[i:j])
+                if tid is not None:
+                    sc = best[i] + self.pieces[tid][1]
+                    if sc > best[j]:
+                        best[j], back[j] = sc, (i, tid)
+            # unknown single codepoint fallback keeps the lattice connected
+            if best[i + 1] < best[i] + self._unk_score:
+                best[i + 1], back[i + 1] = best[i] + self._unk_score, (i, None)
+        ids: list = []
+        j = n
+        while j > 0:
+            i, tid = back[j]
+            if tid is None:
+                ch = s[i:j].encode("utf-8")
+                if self._byte_ids:
+                    ids.extend(self._byte_ids[b] for b in reversed(ch))
+                else:
+                    ids.append(self.unk_id)
+            else:
+                ids.append(tid)
+            j = i
+        return ids[::-1]
+
+
 class SigLipTokenizer:
     """SigLIP T5-sentencepiece tokenizer wrapper (reference
-    tokenizer.py:456-510). Requires the ``sentencepiece`` package and a
-    LOCAL ``sentencepiece.model`` file — the reference downloads its vocab
-    at construction, which this environment cannot (the error carries the
-    upstream URL). Text is big_vision-canonicalized (lowercase, punctuation
-    stripped); pad/eos forced to id 1 like the reference."""
+    tokenizer.py:456-510). Needs a LOCAL ``sentencepiece.model`` file — the
+    reference downloads its vocab at construction, which this environment
+    cannot (the error carries the upstream URL). Uses the ``sentencepiece``
+    package via ``T5TokenizerFast`` when installed, else the dependency-free
+    :class:`MiniSentencePiece` unigram encoder on the same vocab file. Text
+    is big_vision-canonicalized (lowercase, punctuation stripped); pad/eos
+    forced to id 1 like the reference."""
 
     VOCAB_URLS = {
         "c4-en": "http://storage.googleapis.com/t5-data/vocabs/cc_en.32000/sentencepiece.model",
@@ -420,36 +545,43 @@ class SigLipTokenizer:
     }
 
     def __init__(self, tokenizer_name: str, context_length: int = 64):
-        try:
-            import sentencepiece  # noqa: F401
-            from transformers import T5TokenizerFast
-        except ImportError as e:
-            raise ImportError(
-                "SigLipTokenizer needs the sentencepiece package (not in this "
-                "environment); model weights/eval work without it via "
-                "pre-tokenized ids"
-            ) from e
         if tokenizer_name in self.VOCAB_URLS and not os.path.exists(tokenizer_name):
             raise FileNotFoundError(
                 f"sentencepiece vocab {tokenizer_name!r} must be fetched from "
                 f"{self.VOCAB_URLS[tokenizer_name]} and passed as a local path "
                 "(no network egress here)"
             )
-        self.tokenizer = T5TokenizerFast(tokenizer_name, legacy=False)
-        self.tokenizer.pad_token_id = 1
-        self.tokenizer.eos_token_id = 1
+        self.tokenizer = None
+        try:
+            import sentencepiece  # noqa: F401
+            from transformers import T5TokenizerFast
+
+            self.tokenizer = T5TokenizerFast(tokenizer_name, legacy=False)
+            self.tokenizer.pad_token_id = 1
+            self.tokenizer.eos_token_id = 1
+        except ImportError:
+            # dependency-free fallback: same vocab file, unigram Viterbi
+            self.mini = MiniSentencePiece.from_file(tokenizer_name)
+        self.pad_id = self.eos_id = 1  # reference forces both to 1
         self.context_length = context_length
 
     def __call__(self, texts: Union[str, Sequence[str]], context_length: Optional[int] = None) -> np.ndarray:
         if isinstance(texts, str):
             texts = [texts]
         texts = [canonicalize_text(_basic_clean(t)) for t in texts]
-        enc = self.tokenizer(
-            list(texts), return_tensors="np",
-            max_length=context_length or self.context_length,
-            padding="max_length", truncation=True,
-        )
-        return enc["input_ids"].astype(np.int32)
+        ctx = context_length or self.context_length
+        if self.tokenizer is not None:
+            enc = self.tokenizer(
+                list(texts), return_tensors="np",
+                max_length=ctx, padding="max_length", truncation=True,
+            )
+            return enc["input_ids"].astype(np.int32)
+        out = np.full((len(texts), ctx), self.pad_id, dtype=np.int32)
+        for row, text in enumerate(texts):
+            # T5 semantics: pieces + </s>, truncated to ctx with eos kept
+            ids = self.mini.encode(text)[: ctx - 1] + [self.eos_id]
+            out[row, : len(ids)] = ids
+        return out
 
 
 class HFTokenizerWrapper:

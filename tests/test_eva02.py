@@ -105,6 +105,110 @@ def test_rope_dot_depends_only_on_relative_position():
     assert abs(dot_at(1, 1, 3, 3) - base) > 1e-4
 
 
+def _timm_rope_apply(x: np.ndarray, sin_h: np.ndarray, cos_h: np.ndarray) -> np.ndarray:
+    """Independent implementation of timm's ``apply_rot_embed_cat`` semantics
+    (timm ``layers/pos_embed_sincos.py``): INTERLEAVED channel pairing
+    ``rot(x) = stack([-x[..., 1::2], x[..., ::2]])`` with the axial sin/cos
+    vectors ``repeat_interleave(2)``-expanded. ``sin_h``/``cos_h``: [L, D/2]
+    sin/cos of the angle vector (passed precomputed so both conventions use
+    bit-identical tables — the identity under test is the channel
+    conjugation, not float32 table precision)."""
+    sin = np.repeat(sin_h, 2, axis=-1)
+    cos = np.repeat(cos_h, 2, axis=-1)
+    rot = np.stack([-x[..., 1::2], x[..., ::2]], axis=-1).reshape(x.shape)
+    return x * cos + rot * sin
+
+
+def test_rope_import_perm_matches_timm_interleaved_convention():
+    """The importer's q/k channel permutation (checkpoint.py::
+    _eva02_rope_qk_perm via eva02.rope_perm_interleaved_to_half) makes our
+    rotate-half rope reproduce timm's interleaved-convention computation
+    EXACTLY: attention scores from (raw weights + timm convention) equal
+    (permuted weights + our convention). This converts the round-3 'rope
+    channel layout cannot be cross-checked' assumption into a pinned
+    conversion of timm's published apply_rot_embed_cat semantics."""
+    from latteclip_tpu.models.eva02 import rope_perm_interleaved_to_half
+
+    g, D = 4, 16
+    L = g * g
+    sin, cos = rope_sin_cos(g, g, D, with_cls=False)
+    sin, cos = np.asarray(sin), np.asarray(cos)
+    # our tables carry the duplicated rotate-half layout; the underlying
+    # angle vector is the first half (asin of sin is unsafe — rebuild it)
+    bands = D // 4
+    freqs = 10000.0 ** (-np.arange(bands) / bands)
+    ys, xs = np.arange(g, dtype=np.float64), np.arange(g, dtype=np.float64)
+    a = np.concatenate([
+        np.broadcast_to((ys[:, None] * freqs)[:, None, :], (g, g, bands)),
+        np.broadcast_to((xs[:, None] * freqs)[None, :, :], (g, g, bands)),
+    ], axis=-1).reshape(L, D // 2)
+    np.testing.assert_allclose(np.sin(a), sin[:, :D // 2], atol=1e-6)
+    # both sides take the SAME (float32) tables: ours duplicated, timm's the
+    # [L, D/2] halves — what's under test is the channel conjugation
+    sin_h, cos_h = sin[:, :D // 2], cos[:, :D // 2]
+
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((L, D)).astype(np.float64)
+    k = rng.standard_normal((L, D)).astype(np.float64)
+    perm = rope_perm_interleaved_to_half(D)
+
+    def our_rope(x):
+        half = D // 2
+        rot = np.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+        return x * cos + rot * sin
+
+    # vector identity: our convention on permuted channels IS timm's
+    # convention, channel-permuted
+    np.testing.assert_allclose(
+        our_rope(q[:, perm]), _timm_rope_apply(q, sin_h, cos_h)[:, perm],
+        atol=1e-12)
+    # score identity: q.k^T invariant under the simultaneous permutation
+    scores_timm = _timm_rope_apply(q, sin_h, cos_h) @ _timm_rope_apply(k, sin_h, cos_h).T
+    scores_ours = our_rope(q[:, perm]) @ our_rope(k[:, perm]).T
+    np.testing.assert_allclose(scores_ours, scores_timm, atol=1e-10)
+
+
+def test_rope_import_perm_importer_level():
+    """_eva02_rope_qk_perm at the in_proj level: scores computed with raw
+    timm weights + timm convention == imported weights + our convention,
+    for a multi-head projection; and inverse=True round-trips exactly."""
+    from latteclip_tpu.core.checkpoint import _eva02_rope_qk_perm
+    from latteclip_tpu.core.config import Eva02VisionConfig
+
+    W, Dh = 32, 8  # 4 heads
+    cfg = Eva02VisionConfig(width=W, head_width=Dh, image_size=16, patch_size=4)
+    g = 4
+    rng = np.random.default_rng(5)
+    ipw = rng.standard_normal((W, 3 * W)).astype(np.float64)
+    ipb = rng.standard_normal(3 * W).astype(np.float64)
+    x = rng.standard_normal((g * g, W)).astype(np.float64)
+
+    pw, pb = _eva02_rope_qk_perm(ipw, ipb, cfg)
+    rw, rb = _eva02_rope_qk_perm(pw, pb, cfg, inverse=True)
+    np.testing.assert_array_equal(rw, ipw)
+    np.testing.assert_array_equal(rb, ipb)
+
+    sin, cos = rope_sin_cos(g, g, Dh, with_cls=False)
+    sin, cos = np.asarray(sin, np.float64), np.asarray(cos, np.float64)
+    sin_h, cos_h = sin[:, :Dh // 2], cos[:, :Dh // 2]  # shared tables
+
+    def heads(v, W0):  # [L, W] slice of q or k -> [H, L, Dh]
+        return (v[:, W0:W0 + W]).reshape(g * g, W // Dh, Dh).transpose(1, 0, 2)
+
+    raw_qkv = x @ ipw + ipb
+    imp_qkv = x @ pw + pb
+    for h in range(W // Dh):
+        q_t = _timm_rope_apply(heads(raw_qkv, 0)[h], sin_h, cos_h)
+        k_t = _timm_rope_apply(heads(raw_qkv, W)[h], sin_h, cos_h)
+        q_o = heads(imp_qkv, 0)[h] * cos + np.concatenate(
+            [-heads(imp_qkv, 0)[h][:, Dh // 2:], heads(imp_qkv, 0)[h][:, :Dh // 2]], -1) * sin
+        k_o = heads(imp_qkv, W)[h] * cos + np.concatenate(
+            [-heads(imp_qkv, W)[h][:, Dh // 2:], heads(imp_qkv, W)[h][:, :Dh // 2]], -1) * sin
+        np.testing.assert_allclose(q_o @ k_o.T, q_t @ k_t.T, atol=1e-9)
+    # v stream untouched by the import permutation
+    np.testing.assert_array_equal(imp_qkv[:, 2 * W:], raw_qkv[:, 2 * W:])
+
+
 # ---------------------------------------------------------------------------
 # torch oracle
 # ---------------------------------------------------------------------------

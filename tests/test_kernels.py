@@ -19,7 +19,7 @@ def _qkv(B=2, L=77, H=4, D=64, seed=0):
     return mk(), mk(), mk()
 
 
-@pytest.mark.parametrize("L,causal", [(50, False), (77, True), (197, False), (130, False), (77, False)])
+@pytest.mark.parametrize("L,causal", [(50, False), (77, True), (197, False), (130, False), (77, False), (577, False)])
 def test_forward_matches_xla(L, causal):
     q, k, v = _qkv(L=L)
     ours = np.asarray(flash_attention(q, k, v, causal), np.float32)
@@ -45,6 +45,57 @@ def test_gradients_match_xla(causal):
         ref = np.asarray(ref, np.float32)
         denom = max(np.abs(ref).max(), 1e-3)
         assert np.abs(ours - ref).max() / denom < 0.05, f"d{name} mismatch"
+
+
+def test_gradients_match_xla_L577():
+    """Value+grad at the 336px vision length (577 tokens) — the longest
+    sequence any shipped config reaches (reference
+    ``src/open_clip/model_configs/ViT-L-14-336.json`` +
+    ``transformer.py:328-547`` support it via nn.MultiheadAttention; our
+    kernel claims it in kernels/attention.py and must execute it)."""
+    q, k, v = _qkv(B=1, L=577)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, False).astype(jnp.float32) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, False, dtype=jnp.bfloat16).astype(jnp.float32) ** 2)
+
+    g_ours = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for ours, ref, name in zip(g_ours, g_ref, "qkv"):
+        ours = np.asarray(ours, np.float32)
+        ref = np.asarray(ref, np.float32)
+        denom = max(np.abs(ref).max(), 1e-3)
+        assert np.abs(ours - ref).max() / denom < 0.05, f"d{name} mismatch at L=577"
+
+
+def test_vision_tower_336px_forward_and_grad():
+    """A 336px/patch-14 vision tower (577 tokens) end to end through
+    encode_image — value finite + remat gradient path executes. The
+    reference reaches this geometry via ViT-L-14-336 / EVA02-L-14-336;
+    the tiny-width stand-in exercises the same sequence length through the
+    same kernel dispatch."""
+    import dataclasses
+
+    from latteclip_tpu.core.config import get_model_config
+    from latteclip_tpu.models import clip as clip_mod
+
+    cfg = get_model_config("ViT-tiny-test")
+    cfg = dataclasses.replace(
+        cfg, vision=dataclasses.replace(cfg.vision, image_size=336, patch_size=14))
+    grid = cfg.vision.image_size // cfg.vision.patch_size
+    assert grid * grid + 1 == 577
+    params = clip_mod.init_clip_params(jax.random.PRNGKey(0), cfg)
+    img = jnp.asarray(np.random.RandomState(0).rand(2, 336, 336, 3), jnp.float32)
+
+    feats = np.asarray(clip_mod.encode_image(params, cfg, img, normalize=True))
+    assert feats.shape == (2, cfg.embed_dim) and np.isfinite(feats).all()
+
+    g = jax.grad(lambda p: jnp.sum(clip_mod.encode_image(
+        p, cfg, img, normalize=True, remat=True).astype(jnp.float32)))(params)
+    leaf = np.asarray(jax.tree.leaves(g["visual"])[0])
+    assert np.isfinite(leaf).all()
 
 
 def test_odd_group_sizes():
