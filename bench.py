@@ -333,13 +333,42 @@ def main() -> int:
         # (The padded-B/32 anchor, 1084.0 = 1.82× same session, is a
         # BASELINE.md row; skipped here to keep the bench under the
         # driver's time budget.)
-        b32p = run(model="ViT-B-32", batch=batch, remat=remat, packing=128)
+        # Round 5: at bs512 the no-remat residuals FIT once the layer
+        # stacks unroll (auto SCAN_UNROLL) and measure 1903.6 = 3.19x
+        # (BASELINE.md 2026-08-19); remat=True (1711 = 2.87x) kept as the
+        # fallback in case a session regresses the no-remat fit.
+        b32p = None
+        for b32_remat in (False, True):
+            try:
+                b32p = run(model="ViT-B-32", batch=batch, remat=b32_remat,
+                           packing=128)
+                break
+            except Exception as e:
+                print(f"# b32 packed (remat={b32_remat}) failed: {e}",
+                      file=sys.stderr)
+        if b32p is None:
+            raise RuntimeError("both b32 packed configs failed")
         result["value_b32_packed"] = b32p["value"]
         result["vs_baseline_b32_packed"] = b32p["vs_baseline"]
         if roofline and "flops_per_sec" in b32p:
             result["mfu_b32_packed"] = round(b32p["flops_per_sec"] / roofline, 3)
     except Exception as e:
         print(f"# b32 run failed: {e}", file=sys.stderr)
+    try:
+        # the round-5 TUNED B/32 production config: bs384, NO remat (fits in
+        # HBM once the layer stacks unroll — auto SCAN_UNROLL), packed. Same
+        # objective/semantics, just a smaller per-chip batch than the
+        # reference's 512; measured 2076.5 img/s = 3.48x (BASELINE.md
+        # 2026-08-19). bs512 no-remat also fits and clears 3x (1903.5) for
+        # exact reference batch parity.
+        b32t = run(model="ViT-B-32", batch=384, remat=False, packing=128)
+        result["value_b32_packed_tuned"] = b32t["value"]
+        result["vs_baseline_b32_packed_tuned"] = b32t["vs_baseline"]
+        if roofline and "flops_per_sec" in b32t:
+            result["mfu_b32_packed_tuned"] = round(
+                b32t["flops_per_sec"] / roofline, 3)
+    except Exception as e:
+        print(f"# tuned b32 run failed: {e}", file=sys.stderr)
 
     print(json.dumps(result))
     return 0

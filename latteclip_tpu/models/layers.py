@@ -42,6 +42,40 @@ REMAT_SAVE_NAMES = tuple(
     if name.strip()
 )
 
+# lax.scan unroll factor for the layer stack. 1 = rolled while-loop (fast
+# compile, one program per block). Larger values let XLA schedule across
+# layer boundaries and turn the per-layer dynamic-update-slice gradient
+# stacking into statically-indexed writes (measured round 5: +4.1% whole
+# step on packed ViT-B/32, 1633.5 -> 1699.7 img/s; the rolled trace shows
+# ~44 ms/step in those DUS fusions); the cost is compile time roughly
+# linear in the factor (~210 s for ViT-B on the remote TPU).
+# Default "auto": fully unroll stacks of <= _AUTO_UNROLL_MAX_LAYERS on TPU
+# when the per-layer activation tile is small enough, stay rolled elsewhere
+# (CPU test compiles would pay 12x for nothing). Calibration (round 5,
+# packed steps, same sessions): ViT-B/32 vision bs512 [512,50,768] = 19.7M
+# elements unrolled WINS (+4.1% rolled->unrolled; enables bs512 no-remat
+# that OOMs rolled); ViT-B/16 vision bs512 [512,197,768] = 77.5M LOSES
+# (unroll=12 fails to compile, unroll=4 runs 2% slower than rolled). The
+# threshold sits between: 24M elements.
+_SCAN_UNROLL_ENV = _os.environ.get("LATTECLIP_SCAN_UNROLL", "auto")
+_AUTO_UNROLL_MAX_LAYERS = 16
+_AUTO_UNROLL_MAX_ELEMS = 24_000_000
+
+
+def _scan_unroll(n_layers: int, x_shape=None) -> int:
+    if _SCAN_UNROLL_ENV != "auto":
+        return max(1, int(_SCAN_UNROLL_ENV))
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - uninitialized backend
+        on_tpu = False
+    if not on_tpu or n_layers > _AUTO_UNROLL_MAX_LAYERS:
+        return 1
+    elems = 1
+    for d in (x_shape or ()):
+        elems *= int(d)
+    return n_layers if elems <= _AUTO_UNROLL_MAX_ELEMS else 1
+
 
 def layer_norm(
     x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: float = LN_EPS
@@ -218,7 +252,11 @@ def transformer_stack(
         policy = jax.checkpoint_policies.save_only_these_names(*REMAT_SAVE_NAMES)
         body = jax.checkpoint(body, prevent_cse=False, policy=policy)
 
-    x, _ = jax.lax.scan(body, x, stacked)
+    n_layers = jax.tree.leaves(stacked)[0].shape[0]
+    unroll = min(_scan_unroll(n_layers, x.shape), n_layers)
+    if n_layers % unroll:
+        unroll = 1  # keep the rolled form when the factor doesn't divide
+    x, _ = jax.lax.scan(body, x, stacked, unroll=unroll)
     return x
 
 

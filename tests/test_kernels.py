@@ -283,3 +283,43 @@ def test_blockdiag_fold_matches_wholerow(causal, monkeypatch):
     a, b = np.asarray(g_bd, np.float32), np.asarray(g_ref, np.float32)
     assert not np.isnan(a).any() and not np.isnan(b).any()
     assert np.abs(a - b).max() / max(np.abs(b).max(), 1e-3) < 0.02
+
+
+def test_scan_unroll_is_value_and_grad_neutral(monkeypatch):
+    """LATTECLIP_SCAN_UNROLL (round-5 +4.1% TPU lever) must not change tower
+    values or grads — unrolling only changes XLA scheduling, not semantics.
+    Uses a 4-layer stack so unroll=2 and full unroll both divide."""
+    from latteclip_tpu.models import layers
+
+    rng = np.random.RandomState(1)
+    D, H, L, B, N = 64, 2, 13, 3, 4
+    blocks = {
+        "ln_1_scale": jnp.ones((N, D)), "ln_1_bias": jnp.zeros((N, D)),
+        "in_proj_w": jnp.asarray(rng.randn(N, D, 3 * D) * 0.05, jnp.float32),
+        "in_proj_b": jnp.zeros((N, 3 * D)),
+        "out_proj_w": jnp.asarray(rng.randn(N, D, D) * 0.05, jnp.float32),
+        "out_proj_b": jnp.zeros((N, D)),
+        "ln_2_scale": jnp.ones((N, D)), "ln_2_bias": jnp.zeros((N, D)),
+        "c_fc_w": jnp.asarray(rng.randn(N, D, 4 * D) * 0.05, jnp.float32),
+        "c_fc_b": jnp.zeros((N, 4 * D)),
+        "c_proj_w": jnp.asarray(rng.randn(N, 4 * D, D) * 0.05, jnp.float32),
+        "c_proj_b": jnp.zeros((N, D)),
+    }
+    x = jnp.asarray(rng.randn(B, L, D) * 0.3, jnp.float32)
+
+    def loss(p, x):
+        y = layers.transformer_stack(x, p, H, True, layers.gelu,
+                                     jnp.bfloat16, remat=True, tower="_t")
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    results = {}
+    for factor in ("1", "2", "4", "3"):  # 3 does not divide 4 -> rolled path
+        monkeypatch.setattr(layers, "_SCAN_UNROLL_ENV", factor)
+        results[factor] = jax.value_and_grad(loss)(blocks, x)
+    for factor in ("2", "4", "3"):
+        np.testing.assert_allclose(float(results["1"][0]), float(results[factor][0]),
+                                   rtol=0, atol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=1e-5),
+            results["1"][1], results[factor][1])

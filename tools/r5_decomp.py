@@ -141,8 +141,16 @@ def time_step(tag: str, model: str, iters: int = 10, batch: int = 512, **kw) -> 
 
 
 def _stub_attention():
-    """v-passthrough both kernels (shape/dtype/grad-path preserved)."""
+    """v-passthrough both kernels (shape/dtype/grad-path preserved).
+
+    WARNING: module-global patch — it poisons every probe that runs AFTER
+    attnfree in the same process (the round-5 first run did exactly that:
+    its noaug/noopt/trace numbers were attention-free). Probes now restore
+    the real kernels on entry via _unstub_attention().
+    """
     from latteclip_tpu.kernels import attention as A
+
+    _save_real_attention()
 
     def stub(qkv, num_heads, causal=False):
         hd = qkv.shape[-1] // 3
@@ -154,6 +162,25 @@ def _stub_attention():
 
     A.flash_attention_qkv = stub
     A.flash_attention_qkv_segmented = stub_seg
+
+
+_REAL_ATTN = {}
+
+
+def _save_real_attention():
+    from latteclip_tpu.kernels import attention as A
+
+    if not _REAL_ATTN:
+        _REAL_ATTN["qkv"] = A.flash_attention_qkv
+        _REAL_ATTN["seg"] = A.flash_attention_qkv_segmented
+
+
+def _unstub_attention():
+    from latteclip_tpu.kernels import attention as A
+
+    if _REAL_ATTN:
+        A.flash_attention_qkv = _REAL_ATTN["qkv"]
+        A.flash_attention_qkv_segmented = _REAL_ATTN["seg"]
 
 
 def probe_base(model):
@@ -200,9 +227,11 @@ def probe_towers(model):
     imgs = jax.device_put(rng.standard_normal(
         (batch, cfg.vision.image_size, cfg.vision.image_size, 3)).astype(np.float32))
 
-    f = tpu_jit(jax.grad(lambda p: jnp.sum(
-        clip_mod.encode_image(p, cfg, imgs, normalize=True, remat=True).astype(jnp.float32))))
-    t = timeit(lambda p: f(p)["logit_scale"], params, iters=5)
+    # images must be an ARGUMENT: a closed-over device array becomes a jaxpr
+    # constant and the 300 MB compile request dies with HTTP 413 on the relay
+    f = tpu_jit(jax.grad(lambda p, im: jnp.sum(
+        clip_mod.encode_image(p, cfg, im, normalize=True, remat=True).astype(jnp.float32))))
+    t = timeit(lambda p: f(p, imgs)["logit_scale"], params, iters=5)
     print(f"vision grad bs{batch} remat   : {t*1e3:8.1f} ms", flush=True)
 
     raw = bench.make_batch(batch, cfg.vision.image_size, 47, eot_id=49407, longtail=True)
@@ -241,7 +270,7 @@ def probe_trace(model):
 
 def report_trace(trace_dir: str, top: int = 40) -> None:
     """Sum device-lane op durations in the newest trace.json.gz under dir."""
-    paths = sorted(glob.glob(os.path.join(trace_dir, "**", "trace.json.gz"),
+    paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*trace.json.gz"),
                              recursive=True), key=os.path.getmtime)
     if not paths:
         print("no trace.json.gz found", flush=True)
@@ -293,6 +322,7 @@ def main():
     for n in names:
         print(f"=== {n} ===", flush=True)
         t0 = time.time()
+        _unstub_attention()  # attnfree patches module-globally; isolate probes
         try:
             PROBES[n](model)
         except Exception as e:
