@@ -251,13 +251,23 @@ def train(
         bank = DeviceMeterBank()  # every-step sums stay on device
         thr = Throughput(pipeline.cfg.batch_size, jax.device_count())
 
-        for i, host_batch in enumerate(prefetch(pipeline.epoch(epoch), size=pipeline.cfg.prefetch_batches)):
+        # host->device transfer runs on the PREFETCH thread: the upload of
+        # batch i+1 is dispatched as soon as its host assembly finishes,
+        # overlapping the device's step-i compute instead of waiting for the
+        # consumer to come around between step dispatches (the reference
+        # relies on DataLoader pin_memory + non_blocking .cuda() for the
+        # same overlap, train.py:380-390)
+        def _to_device(batches):
+            for hb in batches:
+                yield global_batch_from_local(hb, mesh)
+
+        for i, batch in enumerate(prefetch(_to_device(pipeline.epoch(epoch)),
+                                           size=pipeline.cfg.prefetch_batches)):
             thr.tick_data()
             if tracer is not None:
                 # host readback forces completion of all dispatched steps, so
                 # the capture window contains only whole traced steps
                 tracer.on_step(global_step, sync=lambda: np.asarray(state.step))
-            batch = global_batch_from_local(host_batch, mesh)
             rng = jax.random.fold_in(jax.random.PRNGKey(seed), epoch * 100003 + i)
             state, metrics = sharded_step(state, batch, rng)
             bank.update(metrics)  # async device add, no sync

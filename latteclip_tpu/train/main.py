@@ -451,6 +451,7 @@ def main(argv=None) -> int:
         host_index=jax.process_index(),
         host_count=jax.process_count(),
         use_native_jpeg=args.use_native_jpeg,
+        raw_cache_bytes=args.raw_cache_mb * 1024**2,
         train_with_gt_text=args.train_with_gt_text,
         ondevice_resize=args.ondevice_resize,
         crop_scale=(aug.scale_min, aug.scale_max),

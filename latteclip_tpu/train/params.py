@@ -140,6 +140,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="PIL bicubic RandomResizedCrop on the host — the "
                         "reference's exact pixel geometry (parity escape; "
                         "the crop-box sampling is identical either way)")
+    p.add_argument("--raw-cache-mb", type=int, default=2048,
+                   help="in-memory raw tar-record cache budget (MB): epochs "
+                        "after the first replay parsed shard records instead "
+                        "of re-reading tars (tar parsing measured 82%% of the "
+                        "warm producer epoch on a 1-core host); 0 disables")
     p.add_argument("--use-native-jpeg", action="store_true", default=False,
                    help="native fused JPEG decode+crop+resize for train "
                         "augmentation (latteclip_tpu/native)")

@@ -163,6 +163,45 @@ def test_decode_cache_speeds_epochs(fixture_root):
     assert len(pipe2._decode_cache) == 0
 
 
+@pytest.mark.parametrize("ondevice", [False, True])
+def test_raw_record_cache_exactness(fixture_root, ondevice):
+    """Epochs >= 2 replay cached shard records instead of re-parsing tars;
+    every batch must be bit-identical to the cache-off pipeline, including
+    after image payloads are stripped from cached records (the decode cache
+    owns the pixels by then)."""
+    tok = get_tokenizer()
+    class_names = [c.lower().replace("_", " ") for c in DEFAULT_CLASSES]
+    data = build_train_data(
+        os.path.join(fixture_root, "webdataset", "train_tars"),
+        os.path.join(fixture_root, "clip_features_train.pkl"),
+        [os.path.join(fixture_root, "captions_per_image")],
+        [os.path.join(fixture_root, "captions_per_group")],
+        class_names, tok,
+    )
+    kw = dict(batch_size=8, image_size=64, num_threads=2, ondevice_resize=ondevice)
+    cached = TrainPipeline(data, PipelineConfig(**kw), num_samples=24)
+    plain = TrainPipeline(
+        data, PipelineConfig(**kw, raw_cache_bytes=0), num_samples=24)
+    for epoch in range(3):
+        for bc, bp in zip(cached.epoch(epoch), plain.epoch(epoch)):
+            for k in bc:
+                assert np.array_equal(bc[k], bp[k]), (epoch, k)
+    assert len(cached._shard_cache) > 0 and len(plain._shard_cache) == 0
+    # payloads stripped once decode-cached: records hold keys+json only
+    for recs in cached._shard_cache.values():
+        assert all("jpg" not in r and "jpeg" not in r for r in recs)
+    # epoch-2 replay never opens a tar
+    import latteclip_tpu.data.pipeline as P
+    orig = P.iter_tar_samples
+    P.iter_tar_samples = lambda path: (_ for _ in ()).throw(
+        AssertionError("tar re-parsed with warm raw cache"))
+    try:
+        replay = list(cached.epoch(1))
+    finally:
+        P.iter_tar_samples = orig
+    assert len(replay) == 3
+
+
 def test_native_jpeg_pipeline(fixture_root):
     from latteclip_tpu.native import load_fastjpeg
 
