@@ -294,7 +294,27 @@ def main() -> int:
     if result is None:
         raise SystemExit(f"all bench configs failed: {last_err}")
 
-    # robustness fields (VERDICT r3 #2) — never let them sink the headline
+    # robustness fields (VERDICT r3 #2) — never let them sink the headline.
+    # Stages run in IMPORTANCE order under a wall-clock budget (degraded
+    # relay sessions have measured 230s backend inits and ~12 MB/s uploads;
+    # if the driver's timeout hits, the best numbers must already be in):
+    # roofline (cheap, feeds every mfu) -> tuned B/32 (the 3.48x headline)
+    # -> B/32 bs512 packed (3.19x at exact reference batch) -> packed B/16
+    # -> ctx-cap. LATTECLIP_BENCH_BUDGET_S overrides (default 2700).
+    import os
+
+    t_start = time.perf_counter()
+    budget = float(os.environ.get("LATTECLIP_BENCH_BUDGET_S", "2700"))
+
+    def over_budget(stage: str) -> bool:
+        elapsed = time.perf_counter() - t_start
+        if elapsed > budget:
+            print(f"# bench budget exhausted ({elapsed:.0f}s > {budget:.0f}s): "
+                  f"skipping {stage}", file=sys.stderr)
+            result.setdefault("skipped", []).append(stage)
+            return True
+        return False
+
     roofline = None
     try:
         roofline = measure_gemm_roofline()
@@ -304,72 +324,76 @@ def main() -> int:
     except Exception as e:
         print(f"# gemm roofline failed: {e}", file=sys.stderr)
         result.pop("flops_per_sec", None)
-    try:
-        ctx_result = run(batch=batch, remat=remat, ctx=PRODUCTION_CTX)
-        result["value_ctx_auto"] = ctx_result["value"]
-        result["ctx_auto"] = PRODUCTION_CTX
-    except Exception as e:
-        print(f"# ctx-cap run failed: {e}", file=sys.stderr)
-    try:
-        # --text-packing production number: variable-length packed caption
-        # tower + static packed templates on an LLaVA-like length
-        # distribution (median ~30 BPE tokens, tail to 77). Exact semantics
-        # at ANY distribution (tests/test_packed_step.py); throughput depends
-        # on it, so the distribution is pinned in caption_lengths above.
-        packed_result = run(batch=batch, remat=remat, packing=128)
-        result["value_packed"] = packed_result["value"]
-        result["vs_baseline_packed"] = packed_result["vs_baseline"]
-        if roofline and "flops_per_sec" in packed_result:
-            # session-invariant efficiency of the recommended production
-            # config (VERDICT r4 #8): executed packed-step FLOPs vs the
-            # same-session GEMM roofline
-            result["mfu_packed"] = round(
-                packed_result["flops_per_sec"] / roofline, 3)
-    except Exception as e:
-        print(f"# packed run failed: {e}", file=sys.stderr)
-    try:
-        # ViT-B/32 — the config every reference run script pins
-        # (scripts/unsupervised/*.sh) — at the packed production setting.
-        # (The padded-B/32 anchor, 1084.0 = 1.82× same session, is a
-        # BASELINE.md row; skipped here to keep the bench under the
-        # driver's time budget.)
-        # Round 5: at bs512 the no-remat residuals FIT once the layer
-        # stacks unroll (auto SCAN_UNROLL) and measure 1903.6 = 3.19x
-        # (BASELINE.md 2026-08-19); remat=True (1711 = 2.87x) kept as the
-        # fallback in case a session regresses the no-remat fit.
-        b32p = None
-        for b32_remat in (False, True):
-            try:
-                b32p = run(model="ViT-B-32", batch=batch, remat=b32_remat,
-                           packing=128)
-                break
-            except Exception as e:
-                print(f"# b32 packed (remat={b32_remat}) failed: {e}",
-                      file=sys.stderr)
-        if b32p is None:
-            raise RuntimeError("both b32 packed configs failed")
-        result["value_b32_packed"] = b32p["value"]
-        result["vs_baseline_b32_packed"] = b32p["vs_baseline"]
-        if roofline and "flops_per_sec" in b32p:
-            result["mfu_b32_packed"] = round(b32p["flops_per_sec"] / roofline, 3)
-    except Exception as e:
-        print(f"# b32 run failed: {e}", file=sys.stderr)
-    try:
-        # the round-5 TUNED B/32 production config: bs384, NO remat (fits in
-        # HBM once the layer stacks unroll — auto SCAN_UNROLL), packed. Same
-        # objective/semantics, just a smaller per-chip batch than the
-        # reference's 512; measured 2076.5 img/s = 3.48x (BASELINE.md
-        # 2026-08-19). bs512 no-remat also fits and clears 3x (1903.5) for
-        # exact reference batch parity.
-        b32t = run(model="ViT-B-32", batch=384, remat=False, packing=128)
-        result["value_b32_packed_tuned"] = b32t["value"]
-        result["vs_baseline_b32_packed_tuned"] = b32t["vs_baseline"]
-        if roofline and "flops_per_sec" in b32t:
-            result["mfu_b32_packed_tuned"] = round(
-                b32t["flops_per_sec"] / roofline, 3)
-    except Exception as e:
-        print(f"# tuned b32 run failed: {e}", file=sys.stderr)
 
+    if not over_budget("b32_tuned"):
+        try:
+            # the round-5 TUNED B/32 production config: bs384, NO remat
+            # (fits in HBM once the layer stacks unroll — auto SCAN_UNROLL),
+            # packed. Same objective/semantics, just a smaller per-chip
+            # batch than the reference's 512; measured 2076.5 img/s = 3.48x
+            # (BASELINE.md 2026-08-19).
+            b32t = run(model="ViT-B-32", batch=384, remat=False, packing=128)
+            result["value_b32_packed_tuned"] = b32t["value"]
+            result["vs_baseline_b32_packed_tuned"] = b32t["vs_baseline"]
+            if roofline and "flops_per_sec" in b32t:
+                result["mfu_b32_packed_tuned"] = round(
+                    b32t["flops_per_sec"] / roofline, 3)
+        except Exception as e:
+            print(f"# tuned b32 run failed: {e}", file=sys.stderr)
+
+    if not over_budget("b32_packed"):
+        try:
+            # ViT-B/32 at the reference's own bs512 — the config every
+            # reference run script pins (scripts/unsupervised/*.sh) — at
+            # the packed production setting. Round 5: no-remat FITS once
+            # the layer stacks unroll and measures 1903.6 = 3.19x
+            # (BASELINE.md 2026-08-19); remat=True (1711 = 2.87x) is the
+            # fallback in case a session regresses the no-remat fit.
+            b32p = None
+            for b32_remat in (False, True):
+                try:
+                    b32p = run(model="ViT-B-32", batch=batch,
+                               remat=b32_remat, packing=128)
+                    break
+                except Exception as e:
+                    print(f"# b32 packed (remat={b32_remat}) failed: {e}",
+                          file=sys.stderr)
+            if b32p is None:
+                raise RuntimeError("both b32 packed configs failed")
+            result["value_b32_packed"] = b32p["value"]
+            result["vs_baseline_b32_packed"] = b32p["vs_baseline"]
+            if roofline and "flops_per_sec" in b32p:
+                result["mfu_b32_packed"] = round(
+                    b32p["flops_per_sec"] / roofline, 3)
+        except Exception as e:
+            print(f"# b32 run failed: {e}", file=sys.stderr)
+
+    if not over_budget("packed"):
+        try:
+            # --text-packing production number at ViT-B/16: variable-length
+            # packed caption tower + static packed templates on an
+            # LLaVA-like length distribution (median ~30 BPE tokens, tail
+            # to 77). Exact semantics at ANY distribution
+            # (tests/test_packed_step.py); throughput depends on it, so the
+            # distribution is pinned in caption_lengths above.
+            packed_result = run(batch=batch, remat=remat, packing=128)
+            result["value_packed"] = packed_result["value"]
+            result["vs_baseline_packed"] = packed_result["vs_baseline"]
+            if roofline and "flops_per_sec" in packed_result:
+                result["mfu_packed"] = round(
+                    packed_result["flops_per_sec"] / roofline, 3)
+        except Exception as e:
+            print(f"# packed run failed: {e}", file=sys.stderr)
+
+    if not over_budget("ctx_auto"):
+        try:
+            ctx_result = run(batch=batch, remat=remat, ctx=PRODUCTION_CTX)
+            result["value_ctx_auto"] = ctx_result["value"]
+            result["ctx_auto"] = PRODUCTION_CTX
+        except Exception as e:
+            print(f"# ctx-cap run failed: {e}", file=sys.stderr)
+
+    result["bench_elapsed_s"] = round(time.perf_counter() - t_start, 1)
     print(json.dumps(result))
     return 0
 
