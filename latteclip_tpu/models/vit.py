@@ -12,12 +12,32 @@ and a final projection matmul. Differences are deliberate TPU choices:
 """
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 
 from latteclip_tpu.core.config import VisionConfig
 from latteclip_tpu.models import layers
 from latteclip_tpu.models.layers import Params
+
+# Vision pair-packing: at short sequence lengths (ViT-B/32's L=50) the
+# attention score tile wastes most of its 128 lanes (trace-measured
+# 12.2 TF/s vs 36.8 on the packed-text kernel — BASELINE.md round-5
+# decomposition row). Packing TWO images per row ([B, L] -> [B/2, 2L])
+# and masking cross-image entries with the segment kernel's block-diagonal
+# bias doubles lane utilisation with EXACTLY the same attention math
+# (masked score entries exp2 to 0.0 before every reduction). "auto"
+# (default) packs whenever both images fit one 128-lane tile; "0"/"1"
+# force. The reference has no analogue (its nn.MultiheadAttention pads
+# every sequence — transformer.py:202).
+_VISION_PACK_ENV = _os.environ.get("LATTECLIP_VISION_PACK", "auto")
+
+
+def _pack_pairs(B: int, L: int) -> bool:
+    if _VISION_PACK_ENV == "0":
+        return False
+    return B % 2 == 0 and 2 * L <= 128
 
 
 def init_vit_params(rng: jax.Array, cfg: VisionConfig, embed_dim: int) -> Params:
@@ -261,10 +281,24 @@ def vit_forward(
     if not cfg.no_ln_pre:
         x = layers.layer_norm(x, params["ln_pre_scale"], params["ln_pre_bias"], eps)
 
-    x = layers.transformer_stack(
-        x, params["blocks"], cfg.heads, False, act, dtype, remat=remat, tower="_v",
-        ln_eps=eps,
-    )
+    Lx = x.shape[1]
+    if _pack_pairs(B, Lx):
+        # two images per 128-lane row; block-diagonal segment mask keeps the
+        # attention math identical (see module docstring above)
+        x = x.reshape(B // 2, 2 * Lx, x.shape[2])
+        seg = jnp.broadcast_to(
+            jnp.repeat(jnp.arange(1, 3, dtype=jnp.int32), Lx), (B // 2, 2 * Lx)
+        )
+        x = layers.transformer_stack(
+            x, params["blocks"], cfg.heads, False, act, dtype, remat=remat,
+            tower="_v", ln_eps=eps, seg_ids=seg,
+        )
+        x = x.reshape(B, Lx, x.shape[2])
+    else:
+        x = layers.transformer_stack(
+            x, params["blocks"], cfg.heads, False, act, dtype, remat=remat,
+            tower="_v", ln_eps=eps,
+        )
 
     off = 0 if cfg.no_cls_token else 1
     if cfg.pool_type == "map":

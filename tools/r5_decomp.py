@@ -183,25 +183,31 @@ def _unstub_attention():
         A.flash_attention_qkv_segmented = _REAL_ATTN["seg"]
 
 
+BATCH = 512   # overridable via --batch (round-5 tuned config: 384)
+REMAT = True  # overridable via --no-remat
+
+
 def probe_base(model):
-    time_step("base packed", model, packing=PACK)
+    time_step("base packed", model, packing=PACK, batch=BATCH, remat=REMAT)
 
 
 def probe_attnfree(model):
     _stub_attention()
-    time_step("attn-free packed", model, packing=PACK)
+    time_step("attn-free packed", model, packing=PACK, batch=BATCH, remat=REMAT)
 
 
 def probe_noaug(model):
-    time_step("no-aug packed", model, packing=PACK, augment=False)
+    time_step("no-aug packed", model, packing=PACK, augment=False,
+              batch=BATCH, remat=REMAT)
 
 
 def probe_noopt(model):
-    time_step("fwd+bwd only (no opt)", model, packing=PACK, update=False)
+    time_step("fwd+bwd only (no opt)", model, packing=PACK, update=False,
+              batch=BATCH, remat=REMAT)
 
 
 def probe_padded(model):
-    time_step("base padded", model, packing=0)
+    time_step("base padded", model, packing=0, batch=BATCH, remat=REMAT)
 
 
 def probe_towers(model):
@@ -254,11 +260,11 @@ def probe_trace(model):
     """jax.profiler trace of 3 warm packed steps + chrome-trace op breakdown."""
     import jax
 
-    state, step, db = _build(model, packing=PACK)
+    state, step, db = _build(model, packing=PACK, batch=BATCH, remat=REMAT)
     for i in range(3):
         state, m = step(state, db, jax.random.PRNGKey(i))
     float(m["loss"])
-    trace_dir = f"/tmp/r5_trace_{model.replace('-', '')}"
+    trace_dir = f"/tmp/r5_trace_{model.replace('-', '')}_b{BATCH}_r{int(REMAT)}"
     jax.profiler.start_trace(trace_dir)
     for i in range(3):
         state, m = step(state, db, jax.random.PRNGKey(100 + i))
@@ -313,10 +319,22 @@ PROBES = {
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    global BATCH, REMAT
+    argv = sys.argv[1:]
+    if "--batch" in argv:
+        i = argv.index("--batch")
+        BATCH = int(argv[i + 1])
+        del argv[i:i + 2]
+    if "--no-remat" in argv:
+        REMAT = False
+        argv.remove("--no-remat")
     model = "ViT-B-32"
-    if "--model" in sys.argv:
-        model = sys.argv[sys.argv.index("--model") + 1]
+    if "--model" in argv:
+        i = argv.index("--model")
+        model = argv[i + 1]
+        del argv[i:i + 2]
+    args = [a for a in argv if not a.startswith("--")]
+    print(f"batch={BATCH} remat={REMAT}", flush=True)
     names = args or ["base", "attnfree", "noaug", "noopt", "towers", "trace"]
     print(f"model={model}", flush=True)
     for n in names:
